@@ -1,0 +1,95 @@
+"""Extraction job entry point.
+
+Launch (cluster):
+    zip -r paddle_spark.zip paddle_spark
+    spark-submit --py-files paddle_spark.zip jobs/extract.py \
+        --input <pages table/path> --output <extracted path> \
+        --checkpoint <checkpoint path> --run-id R1 --n-partitions 2048
+
+Launch (sandbox smoke):
+    spark-submit --master 'local[8]' --py-files paddle_spark.zip \
+        jobs/extract.py --gen 2000 --output /tmp/out --checkpoint /tmp/cp
+
+Re-running the same command with the same --run-id resumes: buckets with
+committed lineage are anti-joined away and their output partitions are
+left untouched (idempotent per-bucket overwrite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Allow running from the source tree without --py-files (dev convenience);
+# on a cluster the zip on --py-files provides the package instead.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="paddle_spark extraction job")
+    ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--gen", type=int, default=0,
+                    help="instead of --input, synthesize N deterministic pages")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True, help="extracted table path")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--n-partitions", type=int, default=None,
+                    help="map-stage width (default: n_buckets)")
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="lineage granularity (checkpoint unit)")
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--max-pages-per-doc", type=int, default=None)
+    args = ap.parse_args(argv)
+    if not args.gen and not args.input:
+        ap.error("one of --input / --gen is required")
+
+    from pyspark.sql import SparkSession
+
+    from paddle_spark.config import ExtractConfig
+    from paddle_spark.operators.checkpoint import run_extract_job
+    from paddle_spark.sources.synth import gen_pages_spark
+
+    # spark-submit owns master/memory; default only if launched bare.
+    spark = (
+        SparkSession.builder.appName("paddle_spark_extract")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = ExtractConfig(
+        n_buckets=args.n_buckets,
+        salt=args.salt,
+        max_pages_per_doc=args.max_pages_per_doc,
+    )
+
+    if args.gen:
+        n_parts = args.n_partitions or spark.sparkContext.defaultParallelism
+        pages = gen_pages_spark(spark, args.gen, seed=args.seed, n_partitions=n_parts)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    summary = run_extract_job(
+        spark,
+        pages,
+        output_path=args.output,
+        checkpoint_path=args.checkpoint,
+        run_id=args.run_id,
+        cfg=cfg,
+        n_partitions=args.n_partitions,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

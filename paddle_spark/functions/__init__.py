@@ -1,0 +1,118 @@
+"""Reusable Column-expression helpers (JVM-side, codegen'd).
+
+Everything here stays inside whole-stage codegen — these are the
+DataFrame-level re-expressions of the reference's scalar/string/geometry
+helpers (SURVEY.md §2.7), used by the ``queries()`` driver contract and by
+enrichment stages. The per-document kernels live in
+``paddle_spark.kernels`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from paddle_spark.kernels.classify import IMAGE_MAGICS, PDF_MAGIC
+
+
+def payload_kind_col(html: Column) -> Column:
+    """Magic-byte payload classifier as a pure Column expression (S2).
+
+    Mirrors kernels.classify.classify_payload; usable for partition
+    pruning / branch statistics without entering Python.
+    """
+    head = F.substring(html, 1, 8)
+    is_pdf = F.substring(html, 1, 4) == F.lit(PDF_MAGIC)
+    img = F.lit(False)
+    for magic in IMAGE_MAGICS:
+        img = img | (F.substring(html, 1, len(magic)) == F.lit(magic))
+    # HTML: first non-whitespace byte is '<' (checked on a decoded prefix)
+    prefix = F.ltrim(F.decode(F.substring(html, 1, 256), "UTF-8"))
+    is_html = F.substring(prefix, 1, 1) == F.lit("<")
+    return (
+        F.when(is_pdf, F.lit("pdf"))
+        .when(img, F.lit("image"))
+        .when(is_html, F.lit("html"))
+        .otherwise(F.lit("garbage"))
+    )
+
+
+def bbox_key_col(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Rounded "x1_y1_x2_y2" join key (X3 parity, bbox_text_matcher.py:28-37).
+
+    Note: Spark's ``round`` is HALF_UP while the reference uses Python's
+    banker's rounding; on the .5 boundary they differ. ``F.rint`` matches
+    banker's (HALF_EVEN) and is what we use.
+    """
+    def r(c: Column) -> Column:
+        return F.rint(c).cast("long").cast("string")
+
+    return F.concat_ws("_", r(x1), r(y1), r(x2), r(y2))
+
+
+def bbox_key_from_filename(name: Column) -> Column:
+    """Parse the last 4 integers out of an image filename into a bbox key
+    (X2 parity: ``img_in_image_box_(\\d+)_(\\d+)_(\\d+)_(\\d+)`` and the
+    generic 'last 4 numbers' rule, bbox_text_matcher.py:10-26)."""
+    nums = F.regexp_extract_all(name, F.lit(r"(\d+)"), 1)
+    n = F.size(nums)
+    return F.when(
+        n >= 4,
+        F.concat_ws(
+            "_",
+            F.element_at(nums, n - 3),
+            F.element_at(nums, n - 2),
+            F.element_at(nums, n - 1),
+            F.element_at(nums, n),
+        ),
+    ).otherwise(F.lit(None))
+
+
+def html_strip_chain(col: Column) -> Column:
+    """The reference's HTML clean chain as Column ops (X4 parity,
+    bbox_text_matcher.py:127-146): drop <div><img></div> wrappers, drop
+    <img>, drop all tags, collapse whitespace, trim."""
+    c = F.regexp_replace(col, r"<div[^>]*>\s*<img[^>]*>\s*</div>", " ")
+    c = F.regexp_replace(c, r"<img[^>]*>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def boxes_overlap_cond(a: str, b: str, margin_ratio: float = 0.1) -> Column:
+    """'overlap or nearby' theta-join predicate between two box relations
+    aliased ``a`` and ``b`` (J3 parity, bbox_text_matcher.py:40-68)."""
+    mx = F.greatest(
+        F.col(f"{a}.x2") - F.col(f"{a}.x1"), F.col(f"{b}.x2") - F.col(f"{b}.x1")
+    ) * F.lit(margin_ratio)
+    my = F.greatest(
+        F.col(f"{a}.y2") - F.col(f"{a}.y1"), F.col(f"{b}.y2") - F.col(f"{b}.y1")
+    ) * F.lit(margin_ratio)
+    return ~(
+        (F.col(f"{a}.x2") + mx < F.col(f"{b}.x1"))
+        | (F.col(f"{a}.x1") - mx > F.col(f"{b}.x2"))
+        | (F.col(f"{a}.y2") + my < F.col(f"{b}.y1"))
+        | (F.col(f"{a}.y1") - my > F.col(f"{b}.y2"))
+    )
+
+
+def above_cond(txt: str, img: str, max_distance: float = 100.0) -> Column:
+    """'text directly above image' theta-join predicate (J4 parity,
+    bbox_text_matcher.py:70-83)."""
+    return (
+        (F.col(f"{txt}.y2") <= F.col(f"{img}.y1"))
+        & ((F.col(f"{img}.y1") - F.col(f"{txt}.y2")) <= F.lit(max_distance))
+        & ~(
+            (F.col(f"{txt}.x2") < F.col(f"{img}.x1"))
+            | (F.col(f"{txt}.x1") > F.col(f"{img}.x2"))
+        )
+    )
+
+
+def url_bucket_col(url: Column, n_buckets: int, salt: int = 0) -> Column:
+    """Salted url-hash bucket for repartition + checkpoint lineage.
+
+    ``xxhash64`` of the url plus a salt literal spreads any single hot
+    host/domain across all buckets (the reference's analog is spreading
+    requests across Triton instances, config_gpu_paddlex.pbtxt:18-24)."""
+    return F.pmod(F.xxhash64(url, F.lit(salt)), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,46 @@
+"""Payload-kind classification by magic bytes (SURVEY.md §2 S2).
+
+The reference resolves the branch from an explicit ``fileType`` flag or the
+URL extension and 422s on unknown kinds
+(/root/reference/server/model_repo/layout-parsing/1/model.py:375-394).
+Our batch engine must never fail a task for one bad payload, so unknown
+kinds classify to ``"garbage"`` and downstream produce a
+``parse_ok=false`` row instead (T5 fault isolation, model.py:569-589).
+
+Also exposed as a Spark Column expression in
+``paddle_spark.functions.payload_kind_col`` so the classification can be
+used for partition pruning without entering Python.
+"""
+
+from __future__ import annotations
+
+PDF_MAGIC = b"%PDF"
+IMAGE_MAGICS = (
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff",          # JPEG
+    b"GIF87a",
+    b"GIF89a",
+    b"II*\x00",               # TIFF little-endian
+    b"MM\x00*",               # TIFF big-endian
+    b"RIFF",                  # WEBP container (checked loosely)
+)
+
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_IMAGE = "image"
+KIND_GARBAGE = "garbage"
+
+
+def classify_payload(payload: bytes | None) -> str:
+    """Classify raw page bytes into html / pdf / image / garbage."""
+    if not payload:
+        return KIND_GARBAGE
+    if payload[:4] == PDF_MAGIC:
+        return KIND_PDF
+    for magic in IMAGE_MAGICS:
+        if payload[: len(magic)] == magic:
+            return KIND_IMAGE
+    head = payload[:256].lstrip()
+    if head[:1] == b"<":
+        return KIND_HTML
+    return KIND_GARBAGE

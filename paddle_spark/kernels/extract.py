@@ -1,0 +1,70 @@
+"""Unified per-document extraction (the 'narrow waist', SURVEY.md §7).
+
+Mirrors the reference's single entry point ``_run_impl``
+(/root/reference/server/model_repo/layout-parsing/1/model.py:374-431):
+classify the payload, branch to HTML or layout extraction, never raise for
+one bad document (T5 fault isolation — model.py:569-589 turns failures into
+a 4xx response while the server survives; we turn them into a
+``parse_ok=false`` row while the task survives).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+from paddle_spark.kernels.classify import (
+    KIND_GARBAGE,
+    KIND_HTML,
+    KIND_IMAGE,
+    KIND_PDF,
+    classify_payload,
+)
+from paddle_spark.kernels.html import extract_html
+from paddle_spark.kernels.layout import extract_layout
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    text_sha256: str
+    n_blocks_kept: int
+    n_blocks_dropped: int
+    parse_ok: bool
+    branch: str  # "html" | "layout" | "none"
+    error: str
+
+
+def sha256_text(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def extract_document(
+    payload: bytes | None, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> ExtractResult:
+    """Extract main content from one raw payload. Never raises."""
+    kind = classify_payload(payload)
+    try:
+        if kind == KIND_HTML:
+            text, kept, dropped = extract_html(payload, cfg)
+            return ExtractResult(text, sha256_text(text), kept, dropped, True, "html", "")
+        if kind == KIND_PDF:
+            text, kept, dropped = extract_layout(payload, cfg)
+            return ExtractResult(text, sha256_text(text), kept, dropped, True, "layout", "")
+        if kind == KIND_IMAGE:
+            # image decode needs a raster stack (PIL) not present in this
+            # runtime; plumbing is real, decode is a declared stub.
+            return ExtractResult(
+                "", sha256_text(""), 0, 0, False, "layout",
+                "image decode not available in this runtime",
+            )
+        return ExtractResult(
+            "", sha256_text(""), 0, 0, False, "none", "unrecognized payload"
+        )
+    except Exception as exc:  # noqa: BLE001 — per-doc isolation (T5)
+        return ExtractResult(
+            "", sha256_text(""), 0, 0, False,
+            "layout" if kind == KIND_PDF else kind,
+            f"{type(exc).__name__}: {exc}",
+        )

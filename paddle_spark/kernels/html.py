@@ -1,0 +1,238 @@
+"""HTML branch: main-content extraction via block density scoring.
+
+A from-scratch Readability/trafilatura-class boilerplate stripper:
+
+1. Tokenize the HTML byte stream with one compiled regex (comments,
+   script/style islands, tags, text runs).
+2. Segment into *blocks* at block-level element boundaries, tracking
+   (a) the drop-region stack (nav/footer/aside/... subtrees are
+   boilerplate wholesale — the HTML analog of the reference label filter,
+   /root/reference/server/model_repo/layout-parsing/1/layout_captioning.py:240-241),
+   (b) the number of characters inside ``<a>`` links per block.
+3. Score each block: keep when it clears a minimum length and its
+   link-density (link chars / chars) stays under a threshold — the HTML
+   analog of the reference's per-class score thresholds
+   (/root/reference/server/pipeline_config.yaml:84-104).
+4. Normalize text (entity unescape, whitespace collapse, trim) — the exact
+   shape of the reference's strip chain
+   (/root/reference/imageCaptioningExperiments/bbox_text_matcher.py:127-146:
+   strip tags, collapse whitespace, trim).
+5. Assemble kept blocks in document order joined by ``"\\n"`` — the HTML
+   analog of the per-page block concat
+   (/root/reference/client/testScript.py:144-150).
+
+Deliberately dependency-free: ``lxml`` is not guaranteed in the runtime, and
+byte-identity across the single-process golden generator and Spark workers
+requires one implementation. If lxml ever becomes available it can be slotted
+in behind ``_HAVE_LXML`` as a faster tokenizer with identical semantics.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+
+try:  # pragma: no cover - optional fast path, absent in this runtime
+    import lxml  # noqa: F401
+
+    _HAVE_LXML = True
+except ImportError:  # pragma: no cover
+    _HAVE_LXML = False
+
+
+# One token per match: comment | script island | style island | tag | text.
+_TOKEN_RE = re.compile(
+    rb"<!--.*?-->"
+    rb"|<script\b[^>]*>.*?</script\s*>"
+    rb"|<style\b[^>]*>.*?</style\s*>"
+    rb"|<[^>]*>"
+    rb"|[^<]+",
+    re.DOTALL | re.IGNORECASE,
+)
+
+_TAG_NAME_RE = re.compile(rb"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_WS_RE = re.compile(r"\s+")
+
+# Elements whose entire subtree is boilerplate or non-text.
+DROP_TAGS = frozenset(
+    {
+        "script", "style", "noscript", "template", "svg", "iframe",
+        "head", "nav", "aside", "footer", "header", "form", "button",
+        "select", "datalist", "canvas", "object", "embed",
+    }
+)
+
+# Elements that open/close a text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "ul", "ol", "li", "dl", "dt", "dd",
+        "table", "thead", "tbody", "tr", "td", "th",
+        "blockquote", "pre", "figure", "figcaption", "br", "hr",
+    }
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Void elements never get pushed on the drop stack.
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "meta", "link", "input", "area", "base",
+     "col", "embed", "source", "track", "wbr"}
+)
+
+
+@dataclass
+class Block:
+    """One segmented candidate block."""
+
+    block_id: int
+    tag: str            # block tag that opened it ("" for top-level text)
+    text: str           # normalized text
+    n_chars: int
+    n_link_chars: int
+    kept: bool
+    drop_reason: str    # "", "drop_region", "short", "link_density"
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_chars / self.n_chars if self.n_chars else 0.0
+
+
+def normalize_text(raw: str) -> str:
+    """Entity unescape + whitespace collapse + trim (strip-chain parity,
+    bbox_text_matcher.py:137-146)."""
+    return _WS_RE.sub(" ", _htmlmod.unescape(raw)).strip()
+
+
+def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]:
+    """Tokenize + segment + score. Returns blocks in document order."""
+    blocks: list[Block] = []
+    drop_depth = 0          # nesting depth inside DROP_TAGS subtrees
+    link_depth = 0          # nesting depth inside <a>
+    cur_parts: list[str] = []
+    cur_link_chars = 0
+    cur_tag = ""
+    block_id = 0
+    drop_chars = 0          # text chars seen inside the current drop subtree
+    drop_tag = ""
+
+    def flush(next_tag: str) -> None:
+        nonlocal cur_parts, cur_link_chars, cur_tag, block_id
+        if cur_parts:
+            raw = "".join(cur_parts)
+            text = normalize_text(raw)
+            if text:
+                n = len(text)
+                # Link chars were counted pre-normalization; clamp so the
+                # density ratio stays in [0, 1] after collapse.
+                nl = min(cur_link_chars, n)
+                blk = _score_block(block_id, cur_tag, text, n, nl, cfg)
+                blocks.append(blk)
+                block_id += 1
+        cur_parts = []
+        cur_link_chars = 0
+        cur_tag = next_tag
+
+    for m in _TOKEN_RE.finditer(payload):
+        tok = m.group(0)
+        first = tok[:1]
+        if first != b"<":
+            # text run
+            if drop_depth == 0:
+                try:
+                    s = tok.decode("utf-8")
+                except UnicodeDecodeError:
+                    s = tok.decode("utf-8", errors="replace")
+                if s and not s.isspace():
+                    norm_len = len(normalize_text(s))
+                    cur_parts.append(s)
+                    if link_depth > 0:
+                        cur_link_chars += norm_len
+                elif s:
+                    cur_parts.append(" ")
+            elif not tok.isspace():
+                drop_chars += len(tok)
+            continue
+        if tok[:4] == b"<!--":
+            continue
+        lower4 = tok[:4].lower()
+        if lower4 == b"<scr" or lower4 == b"<sty":
+            # whole script/style island consumed by the tokenizer
+            continue
+        nm = _TAG_NAME_RE.match(tok)
+        if nm is None:  # doctype, malformed
+            continue
+        name = nm.group(1).decode("ascii").lower()
+        closing = tok[:2] == b"</"
+        self_closing = tok.rstrip()[-2:-1] == b"/" or name in _VOID_TAGS
+
+        if name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not self_closing:
+                link_depth += 1
+            continue
+
+        if name in DROP_TAGS:
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+                if drop_depth == 0 and drop_chars > 0:
+                    # record the boilerplate subtree as one dropped block
+                    blocks.append(
+                        Block(block_id, drop_tag, "", drop_chars, 0, False,
+                              "drop_region")
+                    )
+                    block_id += 1
+                    drop_chars = 0
+            elif not self_closing:
+                # entering a boilerplate subtree ends any open block
+                if drop_depth == 0:
+                    flush("")
+                    drop_tag = name
+                drop_depth += 1
+            continue
+
+        if name in BLOCK_TAGS and drop_depth == 0:
+            if closing or name in ("br", "hr"):
+                flush("")
+            else:
+                flush(name)
+    flush("")
+    return blocks
+
+
+def _score_block(
+    block_id: int, tag: str, text: str, n: int, n_link: int, cfg: ExtractConfig
+) -> Block:
+    density = n_link / n if n else 0.0
+    if tag in HEADING_TAGS:
+        if n < cfg.min_heading_chars:
+            return Block(block_id, tag, text, n, n_link, False, "short")
+        if density > cfg.max_heading_link_density:
+            return Block(block_id, tag, text, n, n_link, False, "link_density")
+        return Block(block_id, tag, text, n, n_link, True, "")
+    if n < cfg.min_block_chars:
+        return Block(block_id, tag, text, n, n_link, False, "short")
+    if density > cfg.max_link_density:
+        return Block(block_id, tag, text, n, n_link, False, "link_density")
+    return Block(block_id, tag, text, n, n_link, True, "")
+
+
+def extract_html(
+    payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> tuple[str, int, int]:
+    """Extract main text from an HTML payload.
+
+    Returns ``(text, n_blocks_kept, n_blocks_dropped)``. Kept blocks are
+    joined with a single newline in document order (A2 analog,
+    testScript.py:144-150 — one content line per block).
+    """
+    blocks = segment_blocks(payload, cfg)
+    kept = [b.text for b in blocks if b.kept]
+    n_kept = len(kept)
+    n_dropped = len(blocks) - n_kept
+    return "\n".join(kept), n_kept, n_dropped

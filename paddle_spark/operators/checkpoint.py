@@ -1,0 +1,152 @@
+"""Checkpoint / lineage / idempotent resume (SURVEY.md §2 T1/T2/F10).
+
+Re-expresses the reference's per-process heartbeat-file accounting
+(/root/reference/server/model_repo/layout-parsing/1/layout_status.py:61-86,
+aggregated by /root/reference/server/status_server.py:56-123) as rows in a
+``checkpoint`` table:
+
+    run_id, bucket, n_docs, n_failures, docs_per_sec,
+    started_at, finished_at, status
+
+Resume = anti-join: pages whose bucket already has a ``success`` row for
+this run_id are skipped (the batch analog of TTL-dropping stale heartbeats,
+status_server.py:79-101). Output is written ``partitionBy("bucket")`` with
+dynamic partition overwrite, so re-running a bucket replaces exactly its
+own files — exactly-once per url without a transactional table.
+
+On a cluster with the Iceberg runtime jar this maps 1:1 onto
+``writeTo(...).overwritePartitions()`` + an Iceberg checkpoint table; the
+import-gated ``_HAVE_ICEBERG`` switch below is where that binds. The
+sandbox falls back to plain parquet directories with identical layout.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+from paddle_spark.operators.extract_job import extract_pages, extraction_metrics
+
+try:  # pragma: no cover — Iceberg runtime not in this sandbox
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    _HAVE_ICEBERG = False  # set True when spark.sql.catalog.* is configured
+except ImportError:  # pragma: no cover
+    _HAVE_ICEBERG = False
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_failures", T.LongType(), False),
+        T.StructField("blocks_kept", T.LongType(), False),
+        T.StructField("blocks_dropped", T.LongType(), False),
+        T.StructField("docs_per_sec", T.DoubleType(), False),
+        T.StructField("started_at", T.TimestampType(), False),
+        T.StructField("finished_at", T.TimestampType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for root, _, fs in os.walk(path) for f in fs
+    ):
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+    return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, path: str, run_id: str) -> DataFrame:
+    """Buckets already extracted successfully for this run (F10 analog:
+    keep only fresh, successful lineage rows)."""
+    cp = read_checkpoint(spark, path)
+    return (
+        cp.filter((F.col("run_id") == run_id) & (F.col("status") == "success"))
+        .select("bucket")
+        .distinct()
+    )
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    run_id: str | None = None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    n_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job.
+
+    Returns a summary dict: {run_id, n_docs, n_failures, buckets_done,
+    buckets_skipped, docs_per_sec}.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = completed_buckets(spark, checkpoint_path, run_id)
+    n_skipped = done.count()
+
+    # Resume anti-join. `done` is at most n_buckets rows — always broadcast.
+    from paddle_spark.functions import url_bucket_col
+
+    pages_b = pages.withColumn(
+        "bucket", url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt)
+    )
+    todo = pages_b.join(F.broadcast(done), "bucket", "left_anti").drop("bucket")
+
+    t0 = time.time()
+    extracted = extract_pages(todo, cfg, n_partitions)
+
+    # Dynamic partition overwrite: re-running a bucket replaces only that
+    # bucket's files (idempotent resume; Iceberg overwritePartitions analog).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+    elapsed = time.time() - t0
+
+    # Lineage/metrics rows — computed from the *written* table so they
+    # describe durable output, not a speculative plan.
+    out = spark.read.parquet(output_path)
+    metrics = extraction_metrics(out).join(
+        F.broadcast(done.withColumnRenamed("bucket", "b")),
+        F.col("bucket") == F.col("b"),
+        "left_anti",
+    )
+    now = F.current_timestamp()
+    total = metrics.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
+        F.coalesce(F.sum("n_failures"), F.lit(0)).alias("fails"),
+    ).collect()[0]
+    docs_per_sec = float(total["docs"]) / elapsed if elapsed > 0 else 0.0
+    cp_rows = metrics.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("bucket"),
+        F.col("n_docs").cast("long"),
+        F.col("n_failures").cast("long"),
+        F.col("blocks_kept").cast("long"),
+        F.col("blocks_dropped").cast("long"),
+        F.lit(docs_per_sec).alias("docs_per_sec"),
+        (now - F.expr(f"INTERVAL {int(elapsed)} SECONDS")).alias("started_at"),
+        now.alias("finished_at"),
+        F.lit("success").alias("status"),
+    )
+    cp_rows.write.mode("append").parquet(checkpoint_path)
+
+    return {
+        "run_id": run_id,
+        "n_docs": int(total["docs"]),
+        "n_failures": int(total["fails"]),
+        "buckets_skipped": n_skipped,
+        "elapsed_sec": elapsed,
+        "docs_per_sec": docs_per_sec,
+    }

@@ -1,0 +1,131 @@
+"""The extraction pipeline: pages -> mapInPandas(extract_batch) -> extracted.
+
+One narrow waist (SURVEY.md §7): a single ``mapInPandas`` stage holds both
+branches, chosen per row inside the Arrow batch — mirroring the reference's
+single ``_run_impl`` entry (model.py:374). The Spark layer only classifies,
+partitions and batches; extraction semantics live entirely in
+``paddle_spark.kernels`` (pure, Spark-free), which is what makes the
+per-url byte-identity invariant hold at any parallelism.
+
+Scale design (100 TB / 10^12 rows):
+- Input scan stays columnar: we select exactly (url, warc_ts, html, lang)
+  — column pruning reaches the parquet/Iceberg scan.
+- ``repartition(n, salted url-hash)`` is the job's only shuffle; it defuses
+  host-domain skew (one mega-host = many buckets) and sets the unit of
+  checkpoint lineage. Everything downstream is map-only.
+- Extraction runs in Arrow-batched Python workers (one per core — the
+  analog of the reference's Triton instance pool,
+  config_gpu_paddlex.pbtxt:18-24); per-doc try/except means one poisoned
+  payload can never fail a task (T5, model.py:569-589).
+- Output writes partitioned by ``bucket``, so a re-run of failed buckets is
+  a partition overwrite — idempotent resume without rewriting good data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+from paddle_spark.functions import url_bucket_col
+from paddle_spark.kernels.extract import extract_document
+
+# Output schema = the `extracted` table (SURVEY.md §1.2).
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("text_sha256", T.StringType(), False),
+        T.StructField("n_blocks_kept", T.IntegerType(), False),
+        T.StructField("n_blocks_dropped", T.IntegerType(), False),
+        T.StructField("parse_ok", T.BooleanType(), False),
+        T.StructField("branch", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_IN_COLS = ["url", "warc_ts", "html", "lang", "bucket"]
+
+
+def make_extract_batch(cfg: ExtractConfig):
+    """Build the mapInPandas body with `cfg` captured by closure (the
+    analog of the per-request kwargs dict, model.py:400-431 — but constant
+    per job, shipped once in the serialized closure)."""
+
+    def extract_batch(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"].to_numpy(),
+                "warc_ts": pdf["warc_ts"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "text": [None] * n,
+                "text_sha256": [""] * n,
+                "n_blocks_kept": [0] * n,
+                "n_blocks_dropped": [0] * n,
+                "parse_ok": [False] * n,
+                "branch": [""] * n,
+                "error": [None] * n,
+            }
+            payloads = pdf["html"].to_numpy()
+            for i in range(n):
+                r = extract_document(payloads[i], cfg)
+                out["text"][i] = r.text
+                out["text_sha256"][i] = r.text_sha256
+                out["n_blocks_kept"][i] = r.n_blocks_kept
+                out["n_blocks_dropped"][i] = r.n_blocks_dropped
+                out["parse_ok"][i] = r.parse_ok
+                out["branch"][i] = r.branch
+                out["error"][i] = r.error or None
+            yield pd.DataFrame(out)
+
+    return extract_batch
+
+
+def extract_pages(
+    pages: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Declare the extraction plan over a `pages` DataFrame.
+
+    ``n_partitions`` defaults to ``cfg.n_buckets`` — on a real cluster set
+    it to ~2-3x total cores; AQE cannot resize this map stage, so the
+    repartition width is the parallelism knob.
+    """
+    n_parts = n_partitions or cfg.n_buckets
+    src = pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        "lang",
+        url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt).alias("bucket"),
+    )
+    # The one shuffle: salted url-hash. Bucket count (lineage granularity)
+    # and partition count (parallelism) are decoupled on purpose.
+    src = src.repartition(n_parts, "bucket", "url")
+    return src.mapInPandas(make_extract_batch(cfg), schema=EXTRACTED_SCHEMA)
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-bucket extraction metrics (A3/A4 analog: the reference's
+    instance-status aggregation, status_server.py:56-123, re-expressed as a
+    groupBy over lineage buckets)."""
+    return extracted.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).cast("long").alias("n_failures"),
+        F.sum("n_blocks_kept").cast("long").alias("blocks_kept"),
+        F.sum("n_blocks_dropped").cast("long").alias("blocks_dropped"),
+    )
+
+
+def with_config(**overrides) -> ExtractConfig:
+    return replace(DEFAULT_CONFIG, **overrides)

@@ -1,0 +1,263 @@
+"""Deterministic synthetic `pages` corpus (FIXTURES.md §1).
+
+Generates the exact input shape mandated by BASELINE.json's input_hint:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Everything is a pure function of ``(seed, row_index)`` — no wall clock, no
+global RNG — so any slice of the corpus can be regenerated identically on
+any worker, which the golden tests and the two-parallelism bench rely on.
+
+Payload mix (classified by magic bytes, SURVEY.md §2 S2):
+- ~90 % HTML: header/nav link farm + aside ads (high link density) +
+  an ``<article>`` of seeded paragraphs (high text density) + footer +
+  script/style noise + occasional ``<div><img></div>`` figures
+  (exercises the strip chain X4).
+- ~8 % synthetic-PDF: embedded JSON detector boxes planting NMS
+  duplicates, nested merge cases, two-column reading order, OCR line
+  fragments, boilerplate header/footer boxes and sub-threshold scores.
+- ~2 % garbage bytes -> parse_ok=false rows.
+
+Host skew: host0 carries ~40 % of rows (Zipf-ish) to exercise the salted
+url-hash repartition (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+
+import numpy as np
+import pandas as pd
+
+from paddle_spark.config import LABEL_ID
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt labore dolore magna aliqua enim minim veniam quis "
+    "nostrud exercitation ullamco laboris nisi aliquip commodo consequat "
+    "duis aute irure reprehenderit voluptate velit esse cillum fugiat nulla "
+    "pariatur excepteur sint occaecat cupidatat non proident sunt culpa qui "
+    "officia deserunt mollit anim laborum perspiciatis unde omnis iste natus"
+).split()
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+N_HOSTS = 20
+MEGA_HOST_SHARE = 0.4  # host0 share of rows
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def _rng(seed: int, i: int) -> random.Random:
+    return random.Random(seed * 1_000_003 + i)
+
+
+def _host(rng: random.Random) -> str:
+    if rng.random() < MEGA_HOST_SHARE:
+        return "host0.example"
+    return f"host{rng.randint(1, N_HOSTS - 1)}.example"
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n_words)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(8, 18)) for _ in range(rng.randint(2, 5)))
+
+
+def _nav_links(rng: random.Random, n: int) -> str:
+    return " ".join(
+        f'<a href="/cat/{rng.randint(0, 99)}">{rng.choice(_WORDS)}</a>' for _ in range(n)
+    )
+
+
+def make_html(rng: random.Random, i: int) -> bytes:
+    n_paras = rng.randint(3, 12)
+    paras = []
+    for p in range(n_paras):
+        body = _paragraph(rng)
+        if rng.random() < 0.2:
+            # inline link inside a real paragraph (low density, stays kept)
+            body += f' See <a href="/ref/{p}">{rng.choice(_WORDS)}</a> for more.'
+        paras.append(f"<p>{body}</p>")
+        if rng.random() < 0.15:
+            paras.append(f'<div><img src="/img/{i}_{p}.jpg" alt=""></div>')
+    title = _sentence(rng, rng.randint(4, 8))[:-1]
+    aside = " ".join(
+        f'<a href="/ad/{k}">{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a>'
+        for k in range(rng.randint(4, 10))
+    )
+    doc = (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>{title}</title>"
+        "<style>body{margin:0} .x{color:red}</style>"
+        "<script>var t=1;function f(){return t+1}</script>"
+        "</head><body>"
+        f'<header><div class="logo">{rng.choice(_WORDS)}</div>'
+        f"<nav>{_nav_links(rng, rng.randint(5, 12))}</nav></header>"
+        f"<aside>{aside}</aside>"
+        f"<article><h1>{title}</h1>"
+        + "".join(paras)
+        + "</article>"
+        f"<footer>{_nav_links(rng, rng.randint(3, 8))}"
+        f"<p>© 2024 {rng.choice(_WORDS)} inc. All rights reserved.</p></footer>"
+        "<script>console.log('tail')</script>"
+        "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def _box(box_id, label, x1, y1, x2, y2, score, text):
+    return {
+        "box_id": box_id, "label": label, "label_id": LABEL_ID[label],
+        "x1": float(x1), "y1": float(y1), "x2": float(x2), "y2": float(y2),
+        "score": round(float(score), 4), "text": text,
+    }
+
+
+def make_pdf(rng: random.Random, i: int) -> bytes:
+    """Synthetic layout document with planted geometry scenarios."""
+    n_pages = rng.randint(1, 4)
+    pages = []
+    for p in range(n_pages):
+        w, h = 1700.0, 2200.0
+        boxes = []
+        bid = 0
+        # page header / footer boilerplate (dropped by label filter F6)
+        boxes.append(_box(bid, "header", 100, 40, 1600, 110, 0.9, "Running Head")); bid += 1
+        boxes.append(_box(bid, "footer", 100, 2100, 1600, 2160, 0.9, f"page {p+1}")); bid += 1
+        boxes.append(_box(bid, "number", 820, 2165, 880, 2195, 0.8, str(p + 1))); bid += 1
+        # full-width title (spanner, band separator)
+        title = _sentence(rng, rng.randint(3, 6))[:-1]
+        boxes.append(_box(bid, "title", 150, 150, 1550, 230, 0.96, title)); bid += 1
+        # NMS duplicate of the title at IoU > 0.9, lower score -> suppressed
+        if rng.random() < 0.7:
+            boxes.append(_box(bid, "title", 152, 152, 1548, 228, 0.55, title + " DUP")); bid += 1
+        two_col = rng.random() < 0.5
+        y0 = 300.0
+        if two_col:
+            cols = [(150.0, 800.0), (900.0, 1550.0)]
+        else:
+            cols = [(150.0, 1550.0)]
+        for ci, (cx1, cx2) in enumerate(cols):
+            y = y0
+            for b in range(rng.randint(2, 4)):
+                bh = rng.uniform(120, 260)
+                txt = _paragraph(rng)
+                boxes.append(_box(bid, "text", cx1, y, cx2, y + bh, rng.uniform(0.55, 0.98), txt)); bid += 1
+                y += bh + rng.uniform(20, 60)
+            # sub-threshold noise box (dropped by F2: text thr 0.3)
+            if rng.random() < 0.5:
+                boxes.append(_box(bid, "text", cx1, y, cx2, y + 50, 0.12, "noise")); bid += 1
+        # nested same-class pair -> merge mode "large" keeps the outer
+        if rng.random() < 0.6:
+            boxes.append(_box(bid, "text", 300, 1500, 1000, 1700, 0.9, "outer block")); bid += 1
+            boxes.append(_box(bid, "text", 350, 1550, 700, 1650, 0.8, "inner block")); bid += 1
+        # OCR line fragments: one visual line split into 3 pieces (W2)
+        if rng.random() < 0.6:
+            fy = rng.uniform(1750, 1850)
+            words = [rng.choice(_WORDS) for _ in range(3)]
+            fx = 150.0
+            for k, word in enumerate(words):
+                fw = rng.uniform(150, 300)
+                boxes.append(
+                    _box(bid, "ocr_text", fx, fy + rng.uniform(-4, 4),
+                         fx + fw, fy + 40 + rng.uniform(-4, 4),
+                         rng.uniform(0.6, 0.95), word)
+                ); bid += 1
+                fx += fw + 20
+        # figure with caption text directly above (J4 fixture)
+        if rng.random() < 0.4:
+            boxes.append(_box(bid, "figcaption", 400, 1900, 1200, 1950, 0.85,
+                              f"Figure {p+1}: " + _sentence(rng, 5))); bid += 1
+            boxes.append(_box(bid, "image", 400, 1980, 1200, 2080, 0.9, "")); bid += 1
+        pages.append({"page_no": p, "width": w, "height": h, "boxes": boxes})
+    body = json.dumps({"pages": pages}, sort_keys=True).encode("utf-8")
+    return b"%PDF-1.4\n%paddle-spark-synthetic\n" + body
+
+
+def make_garbage(rng: random.Random) -> bytes:
+    n = rng.randint(8, 64)
+    return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"
+
+
+def gen_page_row(i: int, seed: int = 42) -> tuple:
+    rng = _rng(seed, i)
+    host = _host(rng)
+    url = f"https://{host}/p/{i:08d}"
+    ts = _EPOCH + dt.timedelta(seconds=i * 137)
+    kind_roll = rng.random()
+    if kind_roll < 0.90:
+        payload = make_html(rng, i)
+    elif kind_roll < 0.98:
+        payload = make_pdf(rng, i)
+    else:
+        payload = make_garbage(rng)
+    lang = ["en", "en", "en", "de", "hi", "es"][rng.randint(0, 5)]
+    return (url, ts, payload, None, lang)
+
+
+def gen_pages_pdf(n_rows: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """Generate ``n_rows`` page rows starting at index ``start``."""
+    rows = [gen_page_row(i, seed) for i in range(start, start + n_rows)]
+    df = pd.DataFrame(rows, columns=PAGES_COLUMNS)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    return df
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> None:
+    """Materialize the corpus as a parquet file (chunked to bound memory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    writer = pq.ParquetWriter(path, schema)
+    chunk = 5000
+    done = 0
+    while done < n_rows:
+        k = min(chunk, n_rows - done)
+        pdf = gen_pages_pdf(k, seed=seed, start=done)
+        writer.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
+        done += k
+    writer.close()
+
+
+def gen_pages_spark(spark, n_rows: int, seed: int = 42, n_partitions: int = 8):
+    """Generate the corpus distributed: each partition synthesizes its own
+    index range via ``mapInPandas`` (no driver-side materialization) —
+    scale-ready generation for the bench corpus."""
+    from pyspark.sql import functions as F, types as T
+
+    bounds = spark.range(0, n_rows, 1, n_partitions).select(
+        F.col("id").cast("long").alias("i")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def gen_batch(it):
+        for pdf in it:
+            out = [gen_page_row(int(i), seed) for i in pdf["i"]]
+            res = pd.DataFrame(out, columns=PAGES_COLUMNS)
+            res["warc_ts"] = pd.to_datetime(res["warc_ts"], utc=True).dt.tz_localize(None)
+            yield res
+
+    return bounds.mapInPandas(gen_batch, schema=schema)

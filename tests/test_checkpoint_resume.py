@@ -1,0 +1,81 @@
+"""Checkpoint lineage + idempotent resume (SURVEY.md §5.4).
+
+Simulates a crash after a partial run: first run covers only half the
+buckets (its checkpoint rows committed), then the full job resumes and
+must (a) skip completed buckets, (b) produce exactly-once output per url,
+(c) leave lineage rows for every bucket.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.config import ExtractConfig
+from paddle_spark.functions import url_bucket_col
+from paddle_spark.operators.checkpoint import (
+    completed_buckets,
+    read_checkpoint,
+    run_extract_job,
+)
+
+CFG = ExtractConfig(n_buckets=8)
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "extracted"), str(tmp_path / "checkpoint")
+
+
+def test_full_run_writes_lineage(spark, tiny_pages, paths):
+    out_path, cp_path = paths
+    summary = run_extract_job(
+        spark, tiny_pages, out_path, cp_path, run_id="r1", cfg=CFG, n_partitions=4
+    )
+    assert summary["n_docs"] == tiny_pages.count()
+    cp = read_checkpoint(spark, cp_path)
+    rows = cp.filter(F.col("run_id") == "r1").collect()
+    assert {r["bucket"] for r in rows} == set(range(CFG.n_buckets))
+    assert all(r["status"] == "success" for r in rows)
+    assert sum(r["n_docs"] for r in rows) == summary["n_docs"]
+    assert all(r["docs_per_sec"] > 0 for r in rows)
+
+
+def test_resume_skips_done_buckets_exactly_once(spark, tiny_pages, paths):
+    out_path, cp_path = paths
+    # --- phase 1: "crashed" run that only processed buckets 0-3 ---
+    half = tiny_pages.withColumn(
+        "b", url_bucket_col(F.col("url"), CFG.n_buckets, CFG.salt)
+    ).filter(F.col("b") < 4).drop("b")
+    s1 = run_extract_job(
+        spark, half, out_path, cp_path, run_id="r2", cfg=CFG, n_partitions=4
+    )
+    done = completed_buckets(spark, cp_path, "r2")
+    assert {r["bucket"] for r in done.collect()} == {0, 1, 2, 3}
+
+    # --- phase 2: resume with the FULL input ---
+    s2 = run_extract_job(
+        spark, tiny_pages, out_path, cp_path, run_id="r2", cfg=CFG, n_partitions=4
+    )
+    assert s2["buckets_skipped"] == 4
+    # resumed run processed only the remainder
+    assert s1["n_docs"] + s2["n_docs"] == tiny_pages.count()
+
+    # exactly-once per url in the final output
+    out = spark.read.parquet(out_path)
+    assert out.count() == tiny_pages.count()
+    assert out.select("url").distinct().count() == tiny_pages.count()
+
+    # lineage: one success row per bucket for r2
+    cp = read_checkpoint(spark, cp_path).filter(F.col("run_id") == "r2")
+    per_bucket = cp.groupBy("bucket").count().collect()
+    assert {r["bucket"] for r in per_bucket} == set(range(CFG.n_buckets))
+    assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_rerun_same_run_id_is_noop(spark, tiny_pages, paths):
+    out_path, cp_path = paths
+    run_extract_job(spark, tiny_pages, out_path, cp_path, run_id="r3", cfg=CFG)
+    before = spark.read.parquet(out_path).count()
+    s = run_extract_job(spark, tiny_pages, out_path, cp_path, run_id="r3", cfg=CFG)
+    assert s["n_docs"] == 0
+    assert s["buckets_skipped"] == CFG.n_buckets
+    assert spark.read.parquet(out_path).count() == before
