@@ -1,0 +1,348 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup —
+all expressed as DataFrame plans (JVM-side functions, one shuffle per
+logical step), no Python in the hot path.
+
+Scale notes (10^9+ docs):
+- Exact dedup is one hash-aggregate shuffle on a 64-bit digest (never on
+  the raw text — group keys stay small).
+- MinHash: shingles explode -> one groupBy(doc) computes all K permutation
+  minima as K agg columns (map-side partial aggregation keeps the shuffle
+  proportional to docs, not shingles). Band keys then bucket-join
+  candidates; only same-bucket pairs are compared, which is the whole
+  point of LSH at scale.
+- SimHash: 64 bit-count aggregates per doc, then banded Hamming join.
+- Near-dup joins always emit (a < b) canonical pairs to halve the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared)
+# ---------------------------------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization with empty-token hygiene."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (JVM-side: split + transform)."""
+    ws = words_col(text)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", key: Column | None = None
+) -> DataFrame:
+    """Exact duplicate grouping by content digest (hash-groupBy).
+
+    Returns one row per distinct key: representative id (min), dup count.
+    Grouping happens on ``xxhash64`` of the key, so the shuffle carries
+    8-byte keys even for multi-KB documents.
+    """
+    key = key if key is not None else F.col("text")
+    keyed = df.select(
+        F.col(id_col), F.xxhash64(key).alias("content_hash")
+    )
+    return (
+        keyed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id",
+                    key: Column | None = None) -> DataFrame:
+    """Keep only the representative row of each exact-duplicate group
+    (window dedup — J5/D4 'last/first wins' shape)."""
+    key = key if key is not None else F.col("text")
+    w = W.partitionBy(F.xxhash64(key)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``num_perm`` columns h0..h{K-1}.
+
+    Permutation j is ``xxhash64(shingle, j)`` (independent 64-bit hash per
+    seed); the signature is the per-doc minimum of each. One explode + one
+    groupBy — partial (map-side) min aggregation means the shuffle is
+    O(docs * K), independent of shingle count.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k_shingle)).alias("sh"))
+    )
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(j))).alias(f"h{j}") for j in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Returns distinct (a, b) with a < b.
+
+    Band key = xxhash64 over the band's signature slice; the self-join is
+    an equi-join on (band, band_key) — co-partitioned, no cross product.
+    """
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"h{b * rows + r}" for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols, F.lit(b)).alias("bkey"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_perm)
+    return lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pair similarity — the LSH verifier)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word k-shingles for all pairs sharing at
+    least one shingle. Shingle-inverted-index self-join: candidate pairs
+    are generated per shingle (co-partitioned equi-join), intersection
+    counts per pair, union by inclusion-exclusion.
+
+    At web scale this runs AFTER LSH banding (on candidates); standalone it
+    is quadratic in the worst case — callers bound the input.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k_shingle))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token 64-bit hash votes +1/-1 per bit;
+    the sign of each bit-sum forms the fingerprint.
+
+    Expressed as ``nbits`` conditional-sum aggregates over exploded tokens
+    (all JVM-side; map-side partial aggregation applies).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(nbits):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair
+    within distance ``max_hamming < bands`` agrees exactly on >= 1 chunk,
+    so candidates come from equi-joins on chunk values (no cross product),
+    then exact popcount filtering.
+    """
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ck"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.band", "c.ck")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side
+    (zip_with product + aggregate sum — no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold.
+
+    Sandbox scale: full pairwise (range self-join a<b). At 10^9 vectors
+    this composes with `similarity.lsh_buckets` to restrict the join to
+    same-bucket pairs — see similarity.bucketed_near_dups.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = cosine_sim_col(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schemas, Arrow batch shape, mapInPandas signatures,
+partitioning) is real and tested. The actual codec work (decode, resize,
+frame-sample, feature-extract) is a declared stub in this runtime: the
+raster/audio libraries are not installed, so the deterministic fake below
+stands in, and ``decode_real`` raises ``NotImplementedError`` behind an
+import-try — the swap point for PIL/ffmpeg on a real cluster.
+
+Reference analog: the blip-caption backend's batched execute loop
+(/root/reference/server/model_repo/blip-caption/1/model.py:226-292 —
+iterate requests -> decode image -> infer -> encode), which is exactly an
+``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` mapInPandas body; and
+the image postprocess resize cap (model.py:96-119, <= 2000^2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover — not installed in this runtime
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover
+    _HAVE_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def binary_meta(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over opaque binary — pure Column ops, no Python."""
+    from paddle_spark.functions import payload_kind_col
+
+    return media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("sha256"),
+        payload_kind_col(F.col(payload_col)).alias("kind"),
+    )
+
+
+def decode_real(payload: bytes):  # pragma: no cover — stub by design
+    """Real decode path (PIL). Not available in this runtime."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/ffmpeg; install on the cluster and "
+            "swap decode_fake -> decode_real in decode_batch"
+        )
+    raise NotImplementedError("wire PIL decode here")
+
+
+def decode_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in decode: dims/frames/feature derived from the
+    payload digest. Keeps the batch shape, schema and partitioning honest
+    so the pipeline around the codec is fully testable."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0] % 192          # 64..255
+    height = 64 + d[1] % 192
+    n_frames = 1 + d[2] % 4
+    feature = [round(b / 255.0, 6) for b in d[:8]]
+    return width, height, n_frames, feature
+
+
+def decode_media(media: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Batched 'decode' over Arrow batches (mapInPandas, U3 analog)."""
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, nf, feat = decode_fake(payload)
+                    rows.append((int(mid), w, h, nf, feat, True))
+                except Exception:  # per-item isolation (T5)
+                    rows.append((int(mid), 0, 0, 0, [], False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames", "feature", "decode_ok"],
+            )
+
+    return src.mapInPandas(decode_batch, schema=DECODED_SCHEMA)

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exact baseline (cross join + window),
+  correct at any scale where |queries| is small and the corpus join is
+  broadcast-or-shuffle as Catalyst chooses.
+- LSH (random hyperplane) bucketing: the scale path — restrict candidate
+  generation to same-bucket vectors; planes are deterministic (seeded
+  NumPy on the driver, shipped as literals) so results are reproducible.
+- IVF-lite: coarse quantization to deterministic centroids + nprobe search.
+
+All distance math stays JVM-side (zip_with/aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from paddle_spark.operators.dedup import cosine_sim_col
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Plan: broadcast(queries) cross-join corpus -> cosine -> per-query
+    window top-k. With Q queries this is Q*N distance evals, map-only
+    after the broadcast; the shuffle is only the final top-k aggregation.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, shipped as literals)."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections, JVM-side:
+    bucket = sum_j (dot(v, p_j) > 0) << j."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The candidate join is an equi-join on bucket — at 10^9 vectors this is
+    the difference between N*Q and (N/2^p)*Q distance evaluations. Recall
+    is tunable via n_planes (fewer planes = bigger buckets = higher
+    recall/cost); multi-probe = union over neighboring buckets.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket_col(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket_col(F.col("qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), (F.col("qid") != F.col("cid")) & (c.bucket == q.bucket))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (centroids are driver-side literals — deterministic, broadcast-free).
+
+    Returns (id, cell, cosine_to_centroid). The argmax is a JVM-side
+    array_max over a transform — no shuffle at all.
+    """
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_sim_col(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in cvec])
+                    ),
+                    6,
+                ).alias("cos"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return v.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        best["cos"].alias("centroid_cosine"),
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Pick the n_cells lowest-id vectors as centroids (deterministic
+    seeding; a real deployment would run a few k-means rounds — each round
+    is one groupBy(cell).agg(avg per dim), still DataFrame-native)."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]

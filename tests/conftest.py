@@ -18,9 +18,27 @@ def spark():
     s.stop()
 
 
+SF_DIR = "/root/testdata/sf0.001"
+
+
 @pytest.fixture(scope="session")
 def tiny_pages_pdf():
     return gen_pages_pdf(TINY_ROWS, seed=SEED)
+
+
+@pytest.fixture(scope="session")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,97 @@
+"""Dedup operator tests over the driver's documents table + crafted dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents + planted exact/near duplicates of doc 0 and 1."""
+    base = documents.select("doc_id", "text")
+    rows = base.orderBy("doc_id").limit(2).collect()
+    extra = spark.createDataFrame(
+        [
+            (100000, rows[0]["text"]),                      # exact dup of 0
+            (100001, rows[0]["text"]),                      # exact dup of 0
+            (100002, rows[1]["text"] + " extra tail"),      # near dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_dedup_groups(docs_with_dups):
+    groups = D.exact_dedup(docs_with_dups).filter(F.col("n_dups") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0]["rep_id"] == 0
+    assert groups[0]["n_dups"] == 3
+
+
+def test_drop_exact_dups(docs_with_dups):
+    n_total = docs_with_dups.count()
+    kept = D.drop_exact_dups(docs_with_dups)
+    assert kept.count() == n_total - 2
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 100000 not in kept_ids and 100001 not in kept_ids
+
+
+def test_shingles():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    out = df.select(D.shingles_col(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == ["x y"]  # shorter than k -> whole text
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    pairs = D.minhash_dedup_candidates(docs_with_dups, num_perm=32, bands=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact dups always collide on every band
+    assert (0, 100000) in got and (0, 100001) in got and (100000, 100001) in got
+    # near dup of doc 1 shares most shingles -> some band should collide
+    assert (1, 100002) in got
+
+
+def test_minhash_signature_deterministic(documents):
+    s1 = D.minhash_signatures(documents.limit(20), num_perm=8)
+    s2 = D.minhash_signatures(documents.limit(20), num_perm=8)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = D.ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 100000)] == 1.0
+    assert got[(100000, 100001)] == 1.0
+    assert 0.5 <= got[(1, 100002)] < 1.0
+
+
+def test_simhash_near_dup(docs_with_dups):
+    fp = D.simhash(docs_with_dups)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[0] == vals[100000] == vals[100001]
+    cands = D.simhash_candidates(fp, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in cands.collect()}
+    assert got[(0, 100000)] == 0
+    assert (1, 100002) in got  # one extra token flips few bits
+
+
+def test_embedding_near_dups(spark, embeddings):
+    # plant a near-identical copy of vec 0
+    base = embeddings.select("vec_id", "embedding")
+    v0 = base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    near = [float(x) * 1.001 for x in v0]
+    extra = spark.createDataFrame([(900000, near)], "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dups(base.unionByName(extra), threshold=0.999)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 900000) in got
+
+
+def test_embedding_near_dups_all_jvm(embeddings):
+    """No Python UDF in the near-dup plan (stays codegen'd)."""
+    plan = D.embedding_near_dups(embeddings.limit(10))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests (decode is a declared deterministic stub)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"fakepng" * 10),
+        (1, b"\xff\xd8\xff" + b"fakejpg" * 20),
+        (2, b"GIF89a" + b"fakegif" * 5),
+        (3, b"%PDF-1.4\nnot an image"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_binary_meta(media):
+    out = {r["media_id"]: r for r in MM.binary_meta(media).collect()}
+    assert out[0]["kind"] == "image"
+    assert out[1]["kind"] == "image"
+    assert out[3]["kind"] == "pdf"
+    payload = b"\x89PNG\r\n\x1a\n" + b"fakepng" * 10
+    assert out[0]["n_bytes"] == len(payload)
+    assert out[0]["sha256"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_decode_stub_schema_and_determinism(media):
+    out = MM.decode_media(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "width", "height", "n_frames", "feature", "decode_ok",
+    ]
+    rows1 = {r["media_id"]: r.asDict() for r in out.collect()}
+    rows2 = {r["media_id"]: r.asDict() for r in MM.decode_media(media).collect()}
+    assert rows1 == rows2
+    r0 = rows1[0]
+    assert r0["decode_ok"] and 64 <= r0["width"] <= 255 and len(r0["feature"]) == 8
+    # deterministic fake matches the single-process function
+    w, h, nf, feat = MM.decode_fake(b"\x89PNG\r\n\x1a\n" + b"fakepng" * 10)
+    assert (r0["width"], r0["height"], r0["n_frames"]) == (w, h, nf)
+
+
+def test_decode_real_is_declared_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"anything")

@@ -1,0 +1,100 @@
+"""Similarity-search operator tests over the embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, qid, k=5):
+    qi = np.where(ids == qid)[0][0]
+    q = mat[qi]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos[qi] = -np.inf
+    # match the plan's tie-break: cosine desc, then vec_id asc
+    order = sorted(range(len(ids)), key=lambda i: (-round(cos[i], 6), ids[i]))
+    return [ids[i] for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(embeddings, emb_np):
+    ids, mat = emb_np
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = S.brute_force_topk(embeddings, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+    for qid in (0, 1, 2):
+        spark_ids = [cid for _, cid in sorted(got[qid])]
+        assert spark_ids == _numpy_topk(ids, mat, qid, 5), f"q{qid}"
+
+
+def test_topk_ranks_contiguous(embeddings):
+    out = S.brute_force_topk(embeddings.limit(50), embeddings.limit(2), k=3)
+    for qid, grp in [(0, []), (1, [])]:
+        ranks = [r["rank"] for r in out.filter(F.col("qid") == qid).collect()]
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_lsh_topk_bucket_recall(embeddings):
+    """LSH neighbors must be a plausible subset: every returned neighbor
+    shares the query's bucket, and the #1 brute-force neighbor is found
+    whenever it hashes into the same bucket."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(embeddings, queries, k=1)
+    approx = S.lsh_topk(embeddings, queries, k=5, n_planes=4)
+    ex = {r["qid"]: r["cid"] for r in exact.collect()}
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["qid"], set()).add(r["cid"])
+    planes = S.hyperplanes(64, 4, 42)
+    b = embeddings.select(
+        "vec_id",
+        S.lsh_bucket_col(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")), planes
+        ).alias("bucket"),
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    for qid, best in ex.items():
+        if buckets[best] == buckets[qid]:
+            assert best in ap.get(qid, set()), (qid, best)
+
+
+def test_lsh_deterministic(embeddings):
+    q = embeddings.limit(3)
+    a = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3).collect()))
+    b = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3).collect()))
+    assert a == b
+
+
+def test_ivf_assign(embeddings):
+    cents = S.deterministic_centroids(embeddings, n_cells=4)
+    assert len(cents) == 4
+    out = S.ivf_assign(embeddings, cents)
+    rows = out.collect()
+    assert len(rows) == embeddings.count()
+    cells = {r["cell"] for r in rows}
+    assert cells <= {0, 1, 2, 3}
+    # centroid vectors themselves land in their own cell with cosine ~1
+    own = {r["vec_id"]: r for r in rows if r["vec_id"] < 4}
+    ordered = sorted(own)
+    for i, vid in enumerate(ordered):
+        assert own[vid]["centroid_cosine"] >= 0.999999
+
+
+def test_no_python_udf_in_plans(embeddings):
+    q = embeddings.limit(2)
+    for df in (
+        S.brute_force_topk(embeddings.limit(20), q, k=2),
+        S.lsh_topk(embeddings.limit(20), q, k=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,83 @@
+"""Text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on a mat in the sun for fun"),
+            (2, "der hund und die katze ist nicht ein tier zu haus"),
+            (3, "el perro y la casa de que es un buen lugar por fin"),
+            (4, "zzz qqq xxx www"),
+            (5, ""),
+            (6, "WHAT!!! A??? LOUD,,, SENTENCE;;; FULL: OF. PUNCT!"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_count(crafted):
+    out = crafted.select("doc_id", TS.token_count_col(F.col("text")).alias("n")).collect()
+    n = {r["doc_id"]: r["n"] for r in out}
+    assert n[1] == 14
+    assert n[4] == 4
+    assert n[5] == 0
+
+
+def test_langid(crafted):
+    out = {r["doc_id"]: r["lang_guess"] for r in TS.langid(crafted).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+    assert out[5] == "und"
+
+
+def test_quality_features(crafted):
+    rows = {r["doc_id"]: r for r in TS.quality_features(crafted).collect()}
+    # fluent english scores high, punct-bomb scores low, empty is 0
+    assert rows[1]["quality_score"] > 0.6
+    assert rows[6]["quality_score"] < rows[1]["quality_score"]
+    assert rows[5]["quality_score"] == 0.0
+    assert rows[1]["stopword_ratio"] > 0.3
+    assert rows[6]["punct_ratio"] > 0.2
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO   world."),
+            (4, "different entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TS.fingerprint(df).collect()}
+    assert out[1]["fp_sha256"] == out[2]["fp_sha256"] == out[3]["fp_sha256"]
+    assert out[1]["fp_xx64"] == out[2]["fp_xx64"]
+    assert out[4]["fp_sha256"] != out[1]["fp_sha256"]
+
+
+def test_on_documents_table(documents):
+    q = TS.quality_features(documents)
+    rows = q.collect()
+    assert len(rows) == documents.count()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    lid = TS.langid(documents)
+    assert lid.filter(F.col("lang_guess") == "und").count() < documents.count()
+
+
+def test_all_jvm_side(documents):
+    for df in (
+        TS.quality_features(documents),
+        TS.langid(documents),
+        TS.fingerprint(documents),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
