@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction over pages synthesized from the
+sf0.001 documents table. `queries()` exposes one entry per implemented
+operator family from SURVEY.md §2 plus the training-data ops (dedup /
+similarity / text analysis / multimodal); `oracle_sql()` gives the DuckDB
+twin for every SQL-expressible one (rows-only entries are the genuinely
+non-SQL ops: layout geometry, MinHash/SimHash/LSH hashing, stub decode).
+
+Conventions that keep the driver's hash-compare honest:
+- every computed column is aliased identically on both sides;
+- doubles are rounded in-query on both sides;
+- timestamps are formatted to strings in-query on both sides;
+- DuckDB embedding lists are cast ::DOUBLE[] so cosine math matches
+  Spark's double-precision zip_with/aggregate exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +20,1127 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: HTML extraction with an exact SQL oracle
+# ---------------------------------------------------------------------------
+
+_PAGE_PREFIX = (
+    '<html><head><title>t</title></head><body>'
+    '<header><nav><a href="/h">home</a> <a href="/a">about</a></nav></header>'
+    "<article><h1>Heading "
+)
+_PAGE_MID = "</h1><p>"
+_PAGE_SUFFIX = (
+    '</p></article><footer><a href="/c">contact</a> legal terms</footer>'
+    "</body></html>"
+)
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-shaped pages derived from `documents`:
+    the template plants nav/footer boilerplate around the doc text, so the
+    expected extraction is exactly 'Heading {id}\\n{text}' — SQL-expressible,
+    which turns the byte-identity invariant into a DuckDB-checkable oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_PAGE_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_PAGE_MID),
+        F.col("text"),
+        F.lit(_PAGE_SUFFIX),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.extract_job import extract_pages
+
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_partitions=8)
+    return out.select(
+        "url", "text", "text_sha256", "n_blocks_kept", "n_blocks_dropped",
+        "parse_ok", "branch",
+    )
+
+
+_EXTRACT_HTML_ORACLE = """
+SELECT 'doc://' || doc_id AS url,
+       'Heading ' || doc_id || chr(10) || text AS text,
+       sha256('Heading ' || doc_id || chr(10) || text) AS text_sha256,
+       CAST(2 AS INTEGER) AS n_blocks_kept,
+       CAST(3 AS INTEGER) AS n_blocks_dropped,
+       TRUE AS parse_ok,
+       'html' AS branch
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_html(spark, SF0001)
 
+
+def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout branch over synthetic detector-box PDFs derived from doc ids
+    (rows-only: geometry kernels are not SQL-expressible; their semantics
+    are pinned by the pytest golden/property suites)."""
+    import pandas as pd
+
+    from paddle_spark.operators.extract_job import extract_pages
+    from paddle_spark.sources.synth import make_pdf, _rng
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(50)
+
+    def to_pdf(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "url": [f"pdf://{i}" for i in ids],
+                    "warc_ts": pd.Series([None] * len(ids), dtype="datetime64[us]"),
+                    "html": [make_pdf(_rng(42, int(i)), int(i)) for i in ids],
+                    "text": pd.Series([None] * len(ids), dtype="object"),
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    pages = docs.mapInPandas(
+        to_pdf,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(pages, n_partitions=4)
+    return out.select(
+        "url", "text_sha256", "n_blocks_kept", "n_blocks_dropped", "parse_ok", "branch"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: payload classification
+# ---------------------------------------------------------------------------
+
+def q_classify_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.functions import payload_kind_col
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("<html>"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("%PDF-1.4 "), F.col("text")))
+        .otherwise(F.col("text")),
+        "utf-8",
+    )
+    return (
+        docs.select(payload_kind_col(payload).alias("kind"))
+        .groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_CLASSIFY_ORACLE = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'html'
+            WHEN doc_id % 3 = 1 THEN 'pdf'
+            ELSE 'garbage' END AS kind,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# filters (F3/F5/F6/F10)
+# ---------------------------------------------------------------------------
+
+def q_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("value") >= 90.0).select(
+        "event_id", "event_type", F.round("value", 4).alias("value_r")
+    )
+
+
+_SCORE_FILTER_ORACLE = """
+SELECT event_id, event_type, round(value, 4) AS value_r
+FROM events WHERE value >= 90.0
+"""
+
+
+def q_min_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5 analog: min width/height/area gating (caption_config.yaml:9-11)
+    p = _t(spark, sf_dir, "part")
+    w = F.col("p_size") * 3
+    h = F.col("p_size") * 2
+    return p.filter((w >= 60) & (h >= 40) & (w * h >= 4000)).select(
+        "p_partkey", "p_name", (w * h).cast("long").alias("area")
+    )
+
+
+_MIN_SIZE_ORACLE = """
+SELECT p_partkey, p_name, CAST((p_size*3)*(p_size*2) AS BIGINT) AS area
+FROM part
+WHERE p_size*3 >= 60 AND p_size*2 >= 40 AND (p_size*3)*(p_size*2) >= 4000
+"""
+
+
+def q_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_LABEL_FILTER_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+"""
+
+
+def q_stale_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10 analog: TTL-drop entries older than (max ts - 7 days)
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_fresh"))
+    )
+
+
+_STALE_FILTER_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_fresh
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins (J1/J2/J3/J4/J5)
+# ---------------------------------------------------------------------------
+
+def q_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog: equi-join on a *computed* string key (the reference joins
+    on 'x1_y1_x2_y2' keys built from bbox floats; here the key is built
+    from the order's custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.withColumn(
+        "cust_key_str", F.format_string("Customer#%09d", F.col("o_custkey"))
+    )
+    return (
+        keyed.join(F.broadcast(c), keyed.cust_key_str == c.c_name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_COMPUTED_KEY_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer
+  ON 'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') = c_name
+GROUP BY 1
+"""
+
+
+def q_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog: left join + coalesce('') for unmatched probes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("t"), F.count("*").alias("n")
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.round(F.coalesce(F.col("t"), F.lit(0.0)), 2).alias("total_spent"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+_LEFT_JOIN_ORACLE = """
+SELECT c_custkey,
+       round(coalesce(t, 0.0), 2) AS total_spent,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, sum(o_totalprice) AS t, count(*) AS n
+  FROM orders GROUP BY 1
+) o ON c_custkey = o_custkey
+"""
+
+
+def _part_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic boxes derived from `part` — lets the
+    geometric theta-joins (J3/J4) run against a SQL oracle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    x1 = (F.col("p_partkey") * 37 % 500).cast("double")
+    y1 = (F.col("p_partkey") * 59 % 700).cast("double")
+    return p.select(
+        F.col("p_partkey").alias("box_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 40 + F.col("p_size") % 60).alias("x2"),
+        (y1 + 30 + F.col("p_size") % 40).alias("y2"),
+    )
+
+
+_BOXES_CTE = """
+WITH boxes AS (
+  SELECT p_partkey AS box_id,
+         CAST(p_partkey * 37 % 500 AS DOUBLE) AS x1,
+         CAST(p_partkey * 59 % 700 AS DOUBLE) AS y1,
+         CAST(p_partkey * 37 % 500 + 40 + p_size % 60 AS DOUBLE) AS x2,
+         CAST(p_partkey * 59 % 700 + 30 + p_size % 40 AS DOUBLE) AS y2
+  FROM part WHERE p_partkey < 200
+)
+"""
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: 'overlap or nearby' theta-join with 10% margin
+    (bbox_text_matcher.py:40-68 semantics)."""
+    from paddle_spark.functions import boxes_overlap_cond
+
+    boxes = _part_boxes(spark, sf_dir)
+    a = boxes.alias("a")
+    b = boxes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.box_id") < F.col("b.box_id"))
+            & boxes_overlap_cond("a", "b", 0.1),
+        )
+        .select(F.col("a.box_id").alias("a"), F.col("b.box_id").alias("b"))
+    )
+
+
+_OVERLAP_JOIN_ORACLE = _BOXES_CTE + """
+SELECT a.box_id AS a, b.box_id AS b
+FROM boxes a JOIN boxes b ON a.box_id < b.box_id
+WHERE NOT (
+     a.x2 + greatest(a.x2-a.x1, b.x2-b.x1)*0.1 < b.x1
+  OR a.x1 - greatest(a.x2-a.x1, b.x2-b.x1)*0.1 > b.x2
+  OR a.y2 + greatest(a.y2-a.y1, b.y2-b.y1)*0.1 < b.y1
+  OR a.y1 - greatest(a.y2-a.y1, b.y2-b.y1)*0.1 > b.y2)
+"""
+
+
+def q_above_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: 'text directly above image' directional theta-join
+    (bbox_text_matcher.py:70-83 semantics)."""
+    from paddle_spark.functions import above_cond
+
+    boxes = _part_boxes(spark, sf_dir)
+    t = boxes.alias("t")
+    i = boxes.alias("i")
+    return (
+        t.join(
+            i,
+            (F.col("t.box_id") != F.col("i.box_id")) & above_cond("t", "i", 100.0),
+        )
+        .select(F.col("t.box_id").alias("text_box"), F.col("i.box_id").alias("img_box"))
+    )
+
+
+_ABOVE_JOIN_ORACLE = _BOXES_CTE + """
+SELECT t.box_id AS text_box, i.box_id AS img_box
+FROM boxes t JOIN boxes i ON t.box_id != i.box_id
+WHERE t.y2 <= i.y1 AND (i.y1 - t.y2) <= 100
+  AND NOT (t.x2 < i.x1 OR t.x1 > i.x2)
+"""
+
+
+def q_dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/D4: duplicate keys collapse, last (latest) wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+_DEDUP_LASTWINS_ORACLE = """
+SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A2/A3/A4) + TPC-H Q1 headline
+# ---------------------------------------------------------------------------
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: order-sensitive string concat per group (the per-page block
+    concat re-expressed relationally: string_agg ... ORDER BY)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("event_seq")
+        )
+    )
+
+
+_ORDERED_CONCAT_ORACLE = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY 1
+"""
+
+
+def q_counter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: total/conditional counters (blocks kept/dropped shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_COUNTER_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_status_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: the status-server aggregation shape (sum active,
+    max configured, clamped idle — status_server.py:102-123)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("active"),
+        F.round(F.max("value"), 2).alias("configured"),
+    )
+    return per_user.select(
+        "user_id",
+        "active",
+        "configured",
+        F.round(F.greatest(F.col("configured") - F.col("active"), F.lit(0.0)), 2).alias("idle"),
+    )
+
+
+_STATUS_AGG_ORACLE = """
+SELECT user_id, active, configured,
+       round(greatest(configured - active, 0.0), 2) AS idle
+FROM (
+  SELECT user_id, round(sum(value), 2) AS active, round(max(value), 2) AS configured
+  FROM events GROUP BY 1
+)
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style headline aggregation (relational muscle check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / ordering / limits (W3/W4/W5/T4) + sessionize
+# ---------------------------------------------------------------------------
+
+def q_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: monotone numbering within a document (page_index analog)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+_ROW_NUMBER_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+FROM orders
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-k (page limit analog) per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: string truncation caps (caption <= 512 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 50).alias("text_head"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_TRUNCATE_ORACLE = """
+SELECT doc_id, substr(text, 1, 50) AS text_head, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_continuation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: isStart/isEnd page-continuation flags via windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) == 1).alias("is_start"),
+        (F.row_number().over(w) == F.count("*").over(wn)).alias("is_end"),
+    )
+
+
+_CONTINUATION_ORACLE = """
+SELECT user_id, event_id,
+       (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1) AS is_start,
+       (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          = count(*) OVER (PARTITION BY user_id)) AS is_end
+FROM events
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min opens a session (lag + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+) GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# strings / scalars (X2/X3/X4/X6/X11) + streaming twin
+# ---------------------------------------------------------------------------
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: regex field extraction (bbox-from-filename analog)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("extracted_id"),
+        "c_mktsegment",
+    )
+
+
+_REGEX_EXTRACT_ORACLE = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS extracted_id,
+       c_mktsegment
+FROM customer
+"""
+
+
+def q_key_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: computed string keys from numerics (bbox key normalize analog;
+    floor() on both sides — Spark rint is half-even, DuckDB round is
+    half-away, so the demo key uses the rounding they share)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    key = F.concat_ws(
+        "_",
+        F.floor("l_extendedprice").cast("long").cast("string"),
+        F.floor("l_quantity").cast("long").cast("string"),
+        F.floor(F.col("l_discount") * 100).cast("long").cast("string"),
+    )
+    return li.select("l_orderkey", "l_linenumber", key.alias("bbox_key"))
+
+
+_KEY_NORMALIZE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR) || '_' ||
+       CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || '_' ||
+       CAST(CAST(floor(l_discount * 100) AS BIGINT) AS VARCHAR) AS bbox_key
+FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the reference's HTML clean chain (drop <div><img></div>, drop
+    <img>, drop tags, collapse whitespace, trim)."""
+    from paddle_spark.functions import html_strip_chain
+
+    p = _t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit('<div><img src="x.jpg"></div><p>'),
+        F.col("p_name"),
+        F.lit('</p> <img alt="y"> <b>'),
+        F.col("p_brand"),
+        F.lit("</b>"),
+    )
+    return p.select("p_partkey", html_strip_chain(html).alias("clean"))
+
+
+_HTML_STRIP_ORACLE = r"""
+SELECT p_partkey,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    '<div><img src="x.jpg"></div><p>' || p_name || '</p> <img alt="y"> <b>' || p_brand || '</b>',
+    '<div[^>]*>\s*<img[^>]*>\s*</div>', ' ', 'g'),
+    '<img[^>]*>', ' ', 'g'),
+    '<[^>]+>', ' ', 'g'),
+    '\s+', ' ', 'g')) AS clean
+FROM part
+"""
+
+
+def q_data_uri_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: data-URI payload extraction (split on first comma)."""
+    p = _t(spark, sf_dir, "part")
+    uri = F.concat(F.lit("data:text/plain;base64,"), F.col("p_name"))
+    return p.select(
+        "p_partkey", F.split_part(uri, F.lit(","), F.lit(2)).alias("payload")
+    )
+
+
+_DATA_URI_ORACLE = """
+SELECT p_partkey,
+       split_part('data:text/plain;base64,' || p_name, ',', 2) AS payload
+FROM part
+"""
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 + streaming twin: tumbling 1h windows (the batch form of
+    paddle_spark.streaming.batch_windowed_agg — identical results)."""
+    from paddle_spark.streaming import batch_windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = batch_windowed_agg(ev, minutes=60)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+_TIME_BUCKETS_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    ).select("rep_id", "n_dups")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs (threshold low: the corpus is
+    word-salad, so only weak overlaps exist — the op still exercises the
+    inverted-index join end-to-end)."""
+    from paddle_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(d, threshold=0.01).select(
+        "a", "b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM ws, UNNEST(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS t(s)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.n_inter,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.01
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates (rows-only: xxhash64 has no DuckDB twin)."""
+    from paddle_spark.operators.dedup import minhash_dedup_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_candidates(d, num_perm=32, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming<=3 candidates (rows-only)."""
+    from paddle_spark.operators.dedup import simhash, simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(simhash(d), max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.5)
+
+
+_EMB_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5).select(
+        "qid", "cid", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ANN_TOPK_ORACLE = """
+SELECT qid, cid, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: hyperplane hashing)."""
+    from paddle_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6)
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(e, n_cells=8)
+    return ivf_assign(e, cents).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "centroid_cosine"
+    )
+
+
+_IVF_ORACLE = """
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+)
+SELECT vec_id, cell, cos AS centroid_cosine
+FROM (
+  SELECT e.vec_id, c.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                    c.cell DESC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.textstats import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_TEXT_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d)
+
+
+def _sw_list(lang: str) -> str:
+    from paddle_spark.operators.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_TEXT_QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              w -> w != '' AND list_contains({_sw_list('en')}, lower(w)))) AS BIGINT) AS sw_en
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_tokens, 1), 4) AS mean_word_len,
+         round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(n_upper / greatest(n_chars, 1), 4) AS upper_ratio,
+         round(sw_en / greatest(n_tokens, 1), 4) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, mean_word_len, punct_ratio, upper_ratio, stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         greatest(0.0, least(1.0,
+           0.4 + 2.0*stopword_ratio - 2.0*punct_ratio - 1.0*upper_ratio
+           + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE -0.2 END))
+       END, 4) AS quality_score
+FROM feats
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.textstats import langid
+
+    d = _t(spark, sf_dir, "documents")
+    out = langid(d)
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}")
+          for lang in ("en", "de", "es", "hi")],
+        "lang_guess",
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> w != '' AND list_contains({_sw_list(lang)}, lower(w)))) AS BIGINT) AS hits_{lang}"
+        for lang in ("en", "de", "es", "hi")
+    )
+    # same tie-break as the Spark side: first lang in (en, de, es, hi) wins
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_hi,
+       CASE WHEN greatest(hits_en, hits_de, hits_es, hits_hi) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_hi) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_hi) THEN 'de'
+            WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_hi) THEN 'es'
+            ELSE 'hi' END AS lang_guess
+FROM hits
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fp_sha256")
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddle_spark.operators.multimodal import binary_meta
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("<svg>"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("%PDF-1.4 "), F.col("text")))
+        .otherwise(F.col("text")),
+        "utf-8",
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return binary_meta(media)
+
+
+_MM_META_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(p)) AS BIGINT) AS n_bytes,
+       sha256(p) AS sha256,
+       CASE WHEN doc_id % 4 = 0 THEN 'html'
+            WHEN doc_id % 4 = 1 THEN 'pdf'
+            ELSE 'garbage' END AS kind
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '<svg>' || text
+              WHEN doc_id % 4 = 1 THEN '%PDF-1.4 ' || text
+              ELSE text END AS p
+  FROM documents
+)
+"""
+
+
+def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media 'decode' (rows-only: stub dims derive from
+    sha256 bytes — plumbing is the tested part)."""
+    from paddle_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (flagship + layout branch)
+        "extract_html": q_extract_html,
+        "extract_layout": q_extract_layout,
+        "classify_payloads": q_classify_payloads,
+        # filters
+        "score_filter": q_score_filter,
+        "min_size_filter": q_min_size_filter,
+        "label_filter": q_label_filter,
+        "stale_filter": q_stale_filter,
+        # joins
+        "computed_key_join": q_computed_key_join,
+        "left_join_coalesce": q_left_join_coalesce,
+        "overlap_join": q_overlap_join,
+        "above_join": q_above_join,
+        "dedup_lastwins": q_dedup_lastwins,
+        # aggregations
+        "ordered_concat": q_ordered_concat,
+        "counter_aggregates": q_counter_aggregates,
+        "status_aggregation": q_status_aggregation,
+        "pricing_summary": q_pricing_summary,
+        # windows / ordering
+        "row_numbering": q_row_numbering,
+        "topk_per_group": q_topk_per_group,
+        "truncate": q_truncate,
+        "continuation_flags": q_continuation_flags,
+        "sessionize": q_sessionize,
+        # strings / scalars / time
+        "regex_extract": q_regex_extract,
+        "key_normalize": q_key_normalize,
+        "html_strip": q_html_strip,
+        "data_uri_strip": q_data_uri_strip,
+        "time_buckets": q_time_buckets,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        # text analysis
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # multimodal
+        "mm_binary_meta": q_mm_binary_meta,
+        "mm_decode_stub": q_mm_decode_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html": _EXTRACT_HTML_ORACLE,
+        "classify_payloads": _CLASSIFY_ORACLE,
+        "score_filter": _SCORE_FILTER_ORACLE,
+        "min_size_filter": _MIN_SIZE_ORACLE,
+        "label_filter": _LABEL_FILTER_ORACLE,
+        "stale_filter": _STALE_FILTER_ORACLE,
+        "computed_key_join": _COMPUTED_KEY_JOIN_ORACLE,
+        "left_join_coalesce": _LEFT_JOIN_ORACLE,
+        "overlap_join": _OVERLAP_JOIN_ORACLE,
+        "above_join": _ABOVE_JOIN_ORACLE,
+        "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
+        "ordered_concat": _ORDERED_CONCAT_ORACLE,
+        "counter_aggregates": _COUNTER_ORACLE,
+        "status_aggregation": _STATUS_AGG_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "row_numbering": _ROW_NUMBER_ORACLE,
+        "topk_per_group": _TOPK_ORACLE,
+        "truncate": _TRUNCATE_ORACLE,
+        "continuation_flags": _CONTINUATION_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "regex_extract": _REGEX_EXTRACT_ORACLE,
+        "key_normalize": _KEY_NORMALIZE_ORACLE,
+        "html_strip": _HTML_STRIP_ORACLE,
+        "data_uri_strip": _DATA_URI_ORACLE,
+        "time_buckets": _TIME_BUCKETS_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "dedup_embedding_cosine": _EMB_NEAR_DUP_ORACLE,
+        "ann_topk": _ANN_TOPK_ORACLE,
+        "ann_ivf_assign": _IVF_ORACLE,
+        "text_tokens": _TEXT_TOKENS_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "text_langid": _langid_oracle(),
+        "text_fingerprint": _FINGERPRINT_ORACLE,
+        "mm_binary_meta": _MM_META_ORACLE,
+        # rows-only (non-SQL-expressible): extract_layout, dedup_minhash_lsh,
+        # dedup_simhash, ann_lsh, mm_decode_stub
+    }
