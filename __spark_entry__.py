@@ -1058,6 +1058,94 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# enrichment: caption join + merge-back (J1/J2/J5/J6/X2/F5/F7)
+# ---------------------------------------------------------------------------
+
+def q_caption_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full caption-enrichment chain over part-derived blocks/images:
+    filename-key parse -> last-wins key dedup -> size gate -> broadcast
+    equi-join -> left merge-back."""
+    from paddle_spark.operators.enrich import caption_blocks
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    x1 = (F.col("p_partkey") * 37 % 500).cast("double")
+    y1 = (F.col("p_partkey") * 59 % 700).cast("double")
+    blocks = p.select(
+        F.concat(F.lit("u"), (F.col("p_partkey") % 10).cast("string")).alias("url"),
+        F.lit(0).alias("page_no"),
+        F.col("p_partkey").cast("int").alias("block_id"),
+        F.when(F.col("p_partkey") % 3 == 0, "image").otherwise("text").alias("label"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 100 + F.col("p_size") * 3).alias("x2"),
+        (y1 + 100 + F.col("p_size") * 2).alias("y2"),
+        F.col("p_name").alias("text"),
+    )
+    images = p.filter(F.col("p_partkey") % 6 == 0).select(
+        F.concat(F.lit("u"), (F.col("p_partkey") % 10).cast("string")).alias("url"),
+        F.lit(0).alias("page_no"),
+        F.concat(
+            F.lit("img_in_image_box_"),
+            x1.cast("long").cast("string"), F.lit("_"),
+            y1.cast("long").cast("string"), F.lit("_"),
+            (x1 + 100 + F.col("p_size") * 3).cast("long").cast("string"), F.lit("_"),
+            (y1 + 100 + F.col("p_size") * 2).cast("long").cast("string"),
+            F.lit(".jpg"),
+        ).alias("filename"),
+    )
+    return caption_blocks(blocks, images).select(
+        "url", "block_id", "label", "text", "captioned"
+    )
+
+
+_CAPTION_ENRICH_ORACLE = """
+WITH b0 AS (
+  SELECT 'u' || (p_partkey % 10) AS url,
+         CAST(p_partkey AS INTEGER) AS block_id,
+         CASE WHEN p_partkey % 3 = 0 THEN 'image' ELSE 'text' END AS label,
+         CAST(p_partkey * 37 % 500 AS DOUBLE) AS x1,
+         CAST(p_partkey * 59 % 700 AS DOUBLE) AS y1,
+         CAST(p_partkey * 37 % 500 + 100 + p_size * 3 AS DOUBLE) AS x2,
+         CAST(p_partkey * 59 % 700 + 100 + p_size * 2 AS DOUBLE) AS y2,
+         p_name AS text
+  FROM part WHERE p_partkey < 400
+),
+bk AS (  -- bbox key + last-wins dedup (J5)
+  SELECT * FROM (
+    SELECT b0.*,
+           CAST(CAST(x1 AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(y1 AS BIGINT) AS VARCHAR)
+             || '_' || CAST(CAST(x2 AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(y2 AS BIGINT) AS VARCHAR)
+             AS bbox_key,
+           row_number() OVER (PARTITION BY url, bbox_key ORDER BY block_id DESC) AS rn
+    FROM b0
+  ) WHERE rn = 1
+),
+im AS (  -- image keys (only p_partkey % 6 = 0 rows have files)
+  SELECT DISTINCT 'u' || (p_partkey % 10) AS url,
+         CAST(p_partkey * 37 % 500 AS BIGINT) || '_' ||
+         CAST(p_partkey * 59 % 700 AS BIGINT) || '_' ||
+         CAST(p_partkey * 37 % 500 + 100 + p_size * 3 AS BIGINT) || '_' ||
+         CAST(p_partkey * 59 % 700 + 100 + p_size * 2 AS BIGINT) AS bbox_key
+  FROM part WHERE p_partkey < 400 AND p_partkey % 6 = 0
+),
+caps AS (  -- size gate (always passes here: w,h >= 100 by construction)
+  SELECT bk.url, bk.bbox_key,
+         '[image ' || CAST(CAST(bk.x2 - bk.x1 AS BIGINT) AS VARCHAR) || 'x'
+           || CAST(CAST(bk.y2 - bk.y1 AS BIGINT) AS VARCHAR) || ']' AS caption
+  FROM bk JOIN im ON bk.url = im.url AND bk.bbox_key = im.bbox_key
+  WHERE bk.label = 'image'
+    AND bk.x2 - bk.x1 >= 100 AND bk.y2 - bk.y1 >= 100
+    AND (bk.x2 - bk.x1) * (bk.y2 - bk.y1) >= 10000
+)
+SELECT bk.url, bk.block_id, bk.label,
+       CASE WHEN caps.caption IS NOT NULL THEN bk.text || ' ' || caps.caption
+            ELSE bk.text END AS text,
+       caps.caption IS NOT NULL AS captioned
+FROM bk LEFT JOIN caps ON bk.url = caps.url AND bk.bbox_key = caps.bbox_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1078,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "above_join": q_above_join,
         "dedup_lastwins": q_dedup_lastwins,
+        "caption_enrich": q_caption_enrich,
         # aggregations
         "ordered_concat": q_ordered_concat,
         "counter_aggregates": q_counter_aggregates,
@@ -1129,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_join": _OVERLAP_JOIN_ORACLE,
         "above_join": _ABOVE_JOIN_ORACLE,
         "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
+        "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,
         "counter_aggregates": _COUNTER_ORACLE,
         "status_aggregation": _STATUS_AGG_ORACLE,
