@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the plans we want, not just plans that pass.
+
+Checks the scale-critical properties .explain() would show a reviewer:
+filter pushdown reaching the parquet scan, broadcast on small join sides,
+whole-stage codegen on hot relational paths, and salted-bucket evenness
+under the planted host skew.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark, tmp_path, tiny_pages):
+    p = str(tmp_path / "pages")
+    tiny_pages.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("lang") == "en").select("url", "lang")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_resume_antijoin_is_broadcast(spark, tiny_pages, tmp_path):
+    from paddle_spark.config import ExtractConfig
+    from paddle_spark.operators.checkpoint import run_extract_job, completed_buckets
+    from paddle_spark.functions import url_bucket_col
+
+    cfg = ExtractConfig(n_buckets=8)
+    out, cp = str(tmp_path / "o"), str(tmp_path / "c")
+    run_extract_job(spark, tiny_pages.limit(20), out, cp, run_id="p1", cfg=cfg)
+    done = completed_buckets(spark, cp, "p1")
+    pages_b = tiny_pages.withColumn(
+        "bucket", url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt)
+    )
+    todo = pages_b.join(F.broadcast(done), "bucket", "left_anti")
+    plan = plan_of(todo)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_relational_query_wholestage_codegen(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # AQE wraps the plan pre-execution; codegen spans show in codegen mode
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen subtree" in codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_query_broadcasts_queries_side(spark):
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["ann_topk"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_buckets_defuse_host_skew(spark, tiny_pages):
+    """The corpus plants ~40% of rows on one mega-host; salted url-hash
+    buckets must still be near-uniform (no bucket > 3x the mean)."""
+    from paddle_spark.functions import url_bucket_col
+
+    counts = (
+        tiny_pages.select(url_bucket_col(F.col("url"), 16, 0).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    # sanity: the skew actually exists at the host level
+    hosts = (
+        tiny_pages.select(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("h"))
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    top_host_share = max(r["count"] for r in hosts) / sum(r["count"] for r in hosts)
+    assert top_host_share > 0.25  # mega-host skew planted
+
+    n = sum(r["count"] for r in counts)
+    mean = n / 16
+    assert max(r["count"] for r in counts) < 3 * mean
+    assert len(counts) == 16  # every bucket populated
+
+
+def test_extraction_partitions_balanced(spark, tiny_pages):
+    """After the salted repartition, rows per physical partition are even
+    (mapInPandas work is balanced even with a dominant host)."""
+    from paddle_spark.operators.extract_job import extract_pages
+
+    out = extract_pages(tiny_pages, n_partitions=8).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = [r["count"] for r in out.groupBy("pid").count().collect()]
+    assert max(counts) < 3 * (sum(counts) / len(counts))
