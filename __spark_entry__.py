@@ -103,6 +103,23 @@ FROM documents
 """
 
 
+_EXTRACT_BLOCKS_ORACLE = """
+SELECT 'doc://' || doc_id AS url, CAST(0 AS INTEGER) AS page_no,
+       CAST(b.block_id AS INTEGER) AS block_id, 'html' AS branch, b.label,
+       CASE b.block_id WHEN 2 THEN 'Heading ' || doc_id
+                       WHEN 3 THEN d.text ELSE '' END AS text,
+       b.kept, b.drop_reason
+FROM documents d
+CROSS JOIN (VALUES
+  (0, 'head',   FALSE, 'drop_region'),
+  (1, 'header', FALSE, 'drop_region'),
+  (2, 'h1',     TRUE,  NULL),
+  (3, 'p',      TRUE,  NULL),
+  (4, 'footer', FALSE, 'drop_region')
+) AS b(block_id, label, kept, drop_reason)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_html(spark, SF0001)
@@ -145,6 +162,19 @@ def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S2: payload classification
 # ---------------------------------------------------------------------------
+
+def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic block fan-out (U5: 1 doc -> N block rows). The template
+    pages produce exactly 5 blocks per doc (head/header/h1/p/footer), so
+    even the fan-out has an exact SQL oracle."""
+    from paddle_spark.operators.blocks import extract_blocks
+
+    pages = _pages_from_documents(spark, sf_dir)
+    return extract_blocks(pages, n_partitions=8).select(
+        "url", "page_no", "block_id", "branch", "label", "text", "kept",
+        "drop_reason",
+    )
+
 
 def q_classify_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddle_spark.functions import payload_kind_col
@@ -1154,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (flagship + layout branch)
         "extract_html": q_extract_html,
         "extract_layout": q_extract_layout,
+        "extract_blocks": q_extract_blocks,
         "classify_payloads": q_classify_payloads,
         # filters
         "score_filter": q_score_filter,
@@ -1208,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_html": _EXTRACT_HTML_ORACLE,
+        "extract_blocks": _EXTRACT_BLOCKS_ORACLE,
         "classify_payloads": _CLASSIFY_ORACLE,
         "score_filter": _SCORE_FILTER_ORACLE,
         "min_size_filter": _MIN_SIZE_ORACLE,
