@@ -110,12 +110,65 @@ def normalize_text(raw: str) -> str:
     return _WS_RE.sub(" ", _htmlmod.unescape(raw)).strip()
 
 
+# Fast-path island pre-removal: comments and script/style vanish silently
+# (exactly the reference path's behavior); each boilerplate subtree
+# (head/nav/footer/...) is replaced by a numbered <xdroppedN/> marker so the
+# main loop can emit its drop-block at the right position with the right
+# char count. One C-level regex pass removes ~half the tokens the Python
+# loop would otherwise touch. Same-tag nesting inside an island (a <form>
+# in a <form>) ends the island early — the leftover close tag then flows
+# through the stack logic below, so unbalanced documents stay safe.
+_DROP_ISLAND_TAGS = (
+    "head|nav|aside|footer|header|form|svg|iframe|noscript|template|button"
+    "|select|datalist|canvas|object|embed"
+)
+_ISLAND_RE = re.compile(
+    rf"<!--.*?-->"
+    rf"|<(script|style)\b[^>]*>.*?</\1\s*>"
+    rf"|<({_DROP_ISLAND_TAGS})\b[^>]*>.*?</\2\s*>",
+    re.DOTALL | re.IGNORECASE,
+)
+_SILENT_ISLAND_RE = re.compile(
+    r"<!--.*?-->|<(script|style)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE
+)
+
+
+def _island_text_chars(island: str) -> int:
+    """Non-whitespace text-run chars inside an island, excluding
+    script/style/comment contents (parity with the token-loop counting)."""
+    s = _SILENT_ISLAND_RE.sub(" ", island)
+    n = 0
+    for part in s.split("<"):
+        t = part.partition(">")[2]
+        if t and not t.isspace():
+            n += len(t)
+    return n
+
+
 def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]:
-    """Tokenize + segment + score. Returns blocks in document order."""
+    """Tokenize + segment + score. Returns blocks in document order.
+
+    Equivalent to ``segment_blocks_reference`` (cross-checked in tests) but
+    ~1.5-2x faster via the island pre-pass above.
+    """
     try:
         doc = payload.decode("utf-8")
     except UnicodeDecodeError:
         doc = payload.decode("utf-8", errors="replace")
+
+    islands: list[tuple[str, int]] = []
+
+    def _replace(m: re.Match) -> str:
+        if m[2] is None:
+            # comment or script/style: silent skip, NO separator — the
+            # reference loop skips these tokens leaving neighbors adjacent
+            return ""
+        # drop islands always produce a marker: entering a boilerplate
+        # subtree must end the open block even when the subtree is empty
+        islands.append((m[2].lower(), _island_text_chars(m[0])))
+        return f"<xdropped{len(islands) - 1}/>"
+
+    doc = _ISLAND_RE.sub(_replace, doc)
     blocks: list[Block] = []
     drop_depth = 0          # nesting depth inside DROP_TAGS subtrees
     link_depth = 0          # nesting depth inside <a>
@@ -170,6 +223,19 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
         closing = tok[1] == "/"
         self_closing = tok.rstrip()[-2:-1] == "/" or name in _VOID_TAGS
 
+        if name.startswith("xdropped"):
+            # pre-removed boilerplate island: ends any open block and emits
+            # the drop-block at its document position (no block if empty)
+            if drop_depth == 0:
+                flush("")
+                tag, n = islands[int(name[8:])]
+                if n > 0:
+                    blocks.append(
+                        Block(block_id, tag, "", n, 0, False, "drop_region")
+                    )
+                    block_id += 1
+            continue
+
         if name == "a":
             if closing:
                 link_depth = max(0, link_depth - 1)
@@ -190,6 +256,102 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
                     drop_chars = 0
             elif not self_closing:
                 # entering a boilerplate subtree ends any open block
+                if drop_depth == 0:
+                    flush("")
+                    drop_tag = name
+                drop_depth += 1
+            continue
+
+        if name in BLOCK_TAGS and drop_depth == 0:
+            if closing or name in ("br", "hr"):
+                flush("")
+            else:
+                flush(name)
+    flush("")
+    return blocks
+
+
+def segment_blocks_reference(
+    payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> list[Block]:
+    """Single-pass token-loop implementation (no island pre-pass).
+
+    Kept as the executable spec for ``segment_blocks``: tests assert both
+    produce identical blocks over the synthetic corpus and crafted cases.
+    Known divergence (fast path documented above): same-tag nesting inside
+    a boilerplate island, and text chars of islands nested in unbalanced
+    drop regions — both outside the corpus and the scored-output contract.
+    """
+    try:
+        doc = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        doc = payload.decode("utf-8", errors="replace")
+    blocks: list[Block] = []
+    drop_depth = 0
+    link_depth = 0
+    cur_parts: list[str] = []
+    cur_link_chars = 0
+    cur_tag = ""
+    block_id = 0
+    drop_chars = 0
+    drop_tag = ""
+
+    def flush(next_tag: str) -> None:
+        nonlocal cur_parts, cur_link_chars, cur_tag, block_id
+        if cur_parts:
+            text = normalize_text("".join(cur_parts))
+            if text:
+                n = len(text)
+                nl = min(cur_link_chars, n)
+                blocks.append(_score_block(block_id, cur_tag, text, n, nl, cfg))
+                block_id += 1
+        cur_parts = []
+        cur_link_chars = 0
+        cur_tag = next_tag
+
+    for m in _TOKEN_RE.finditer(doc):
+        tok = m[0]
+        if tok[0] != "<":
+            if drop_depth == 0:
+                if not tok.isspace():
+                    cur_parts.append(tok)
+                    if link_depth > 0:
+                        cur_link_chars += len(normalize_text(tok))
+                else:
+                    cur_parts.append(" ")
+            elif not tok.isspace():
+                drop_chars += len(tok)
+            continue
+        if tok[:4] == "<!--":
+            continue
+        lower4 = tok[:4].lower()
+        if lower4 == "<scr" or lower4 == "<sty":
+            continue
+        nm = _TAG_NAME_RE.match(tok)
+        if nm is None:
+            continue
+        name = nm[1].lower()
+        closing = tok[1] == "/"
+        self_closing = tok.rstrip()[-2:-1] == "/" or name in _VOID_TAGS
+
+        if name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not self_closing:
+                link_depth += 1
+            continue
+
+        if name in DROP_TAGS:
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+                if drop_depth == 0 and drop_chars > 0:
+                    blocks.append(
+                        Block(block_id, drop_tag, "", drop_chars, 0, False,
+                              "drop_region")
+                    )
+                    block_id += 1
+                    drop_chars = 0
+            elif not self_closing:
                 if drop_depth == 0:
                     flush("")
                     drop_tag = name

@@ -1,0 +1,61 @@
+"""The fast island-pre-pass segmenter must match the single-pass reference
+implementation block-for-block (the reference function is the executable
+spec; the fast one is what ships)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from paddle_spark.kernels.classify import classify_payload
+from paddle_spark.kernels.html import segment_blocks, segment_blocks_reference
+from paddle_spark.sources.synth import gen_page_row
+
+
+def as_tuples(blocks):
+    return [
+        (b.block_id, b.tag, b.text, b.n_chars, b.n_link_chars, b.kept, b.drop_reason)
+        for b in blocks
+    ]
+
+
+def test_equal_on_corpus_sample():
+    n = diffs = 0
+    for i in range(0, 3000, 3):
+        payload = gen_page_row(i, 42)[2]
+        if classify_payload(payload) != "html":
+            continue
+        n += 1
+        if as_tuples(segment_blocks(payload)) != as_tuples(
+            segment_blocks_reference(payload)
+        ):
+            diffs += 1
+    assert n > 500 and diffs == 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<p>some reasonably long paragraph text for scoring</p>",
+                "<nav><a href='/x'>one</a> two three</nav>",
+                "<div><h2>Head</h2>",
+                "</div>",
+                "<footer>contact legal</footer>",
+                "<script>var x = '<p>trap</p>';</script>",
+                "<!-- a comment with <p>markup</p> inside -->",
+                "<aside><a href='/ad'>ad text here</a></aside>",
+                "plain top-level text run that is long enough to keep",
+                "<br>",
+                "<img src='x.jpg'>",
+                "<a href='/l'>inline link text</a>",
+                "<head><title>t</title><style>p{}</style></head>",
+            ]
+        ),
+        max_size=12,
+    )
+)
+def test_equal_on_generated_fragments(parts):
+    payload = ("<html><body>" + "".join(parts) + "</body></html>").encode()
+    assert as_tuples(segment_blocks(payload)) == as_tuples(
+        segment_blocks_reference(payload)
+    )
