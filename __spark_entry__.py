@@ -540,6 +540,74 @@ GROUP BY 1, 2
 """
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combos incl. grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+_DISTINCT_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers in segment A except those with orders,
+    union customers in segment B intersect those with orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("ck")).distinct()
+    seg_a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("ck")
+    )
+    seg_b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("ck")
+    )
+    return seg_a.exceptAll(with_orders).unionByName(
+        seg_b.intersectAll(with_orders)
+    ).distinct()
+
+
+_SET_OPS_ORACLE = """
+WITH w AS (SELECT DISTINCT o_custkey AS ck FROM orders)
+SELECT DISTINCT ck FROM (
+  (SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+   EXCEPT ALL SELECT ck FROM w)
+  UNION ALL
+  (SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'MACHINERY'
+   INTERSECT ALL SELECT ck FROM w)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # windows / ordering / limits (W3/W4/W5/T4) + sessionize
 # ---------------------------------------------------------------------------
@@ -1203,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_aggregates": q_counter_aggregates,
         "status_aggregation": q_status_aggregation,
         "pricing_summary": q_pricing_summary,
+        "cube_rollup": q_cube_rollup,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
         # windows / ordering
         "row_numbering": q_row_numbering,
         "topk_per_group": q_topk_per_group,
@@ -1255,6 +1326,9 @@ def oracle_sql() -> dict[str, str]:
         "counter_aggregates": _COUNTER_ORACLE,
         "status_aggregation": _STATUS_AGG_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
+        "cube_rollup": _CUBE_ORACLE,
+        "distinct_agg": _DISTINCT_AGG_ORACLE,
+        "set_ops": _SET_OPS_ORACLE,
         "row_numbering": _ROW_NUMBER_ORACLE,
         "topk_per_group": _TOPK_ORACLE,
         "truncate": _TRUNCATE_ORACLE,

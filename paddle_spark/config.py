@@ -124,6 +124,10 @@ class ExtractConfig:
     # ---- job level ----
     n_buckets: int = 64          # url-hash buckets for checkpoint lineage
     salt: int = 0                # repartition salt (defuses domain skew)
+    # fault injection for resume tests: a batch containing a url with this
+    # substring raises at the TASK level (not per-doc), simulating an
+    # executor/job crash (the per-doc try/except must not see it)
+    fail_batch_marker: str | None = None
 
     def layout_threshold(self, label_id: int) -> float:
         return LAYOUT_THRESHOLDS.get(label_id, 0.5)

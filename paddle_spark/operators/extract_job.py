@@ -61,6 +61,12 @@ def make_extract_batch(cfg: ExtractConfig):
 
     def extract_batch(batches):
         for pdf in batches:
+            if cfg.fail_batch_marker and pdf["url"].str.contains(
+                cfg.fail_batch_marker, regex=False
+            ).any():
+                raise RuntimeError(
+                    f"fault injection: batch contains {cfg.fail_batch_marker!r}"
+                )
             n = len(pdf)
             out = {
                 "url": pdf["url"].to_numpy(),

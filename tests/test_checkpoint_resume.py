@@ -71,6 +71,42 @@ def test_resume_skips_done_buckets_exactly_once(spark, tiny_pages, paths):
     assert all(r["count"] == 1 for r in per_bucket)
 
 
+def test_crash_then_resume_exactly_once(spark, tiny_pages, paths):
+    """A task-level crash (fault injection, not per-doc) fails the whole
+    job atomically: no partial output commit, no checkpoint rows. The
+    clean re-run then completes exactly-once."""
+    import pytest as _pytest
+
+    from dataclasses import replace
+
+    out_path, cp_path = paths
+    poisoned = replace(CFG, fail_batch_marker="/p/000000")  # hits many batches
+    with _pytest.raises(Exception):
+        run_extract_job(
+            spark, tiny_pages, out_path, cp_path, run_id="r4", cfg=poisoned,
+            n_partitions=4,
+        )
+    # job-level atomicity: no committed output, no lineage rows
+    import os
+
+    committed = os.path.exists(os.path.join(out_path, "_SUCCESS")) or any(
+        f.endswith(".parquet")
+        for root, _, fs in os.walk(out_path)
+        for f in fs
+        if "_temporary" not in root
+    ) if os.path.isdir(out_path) else False
+    assert not committed
+    assert completed_buckets(spark, cp_path, "r4").count() == 0
+
+    # clean resume completes everything exactly-once
+    s = run_extract_job(
+        spark, tiny_pages, out_path, cp_path, run_id="r4", cfg=CFG, n_partitions=4
+    )
+    assert s["n_docs"] == tiny_pages.count()
+    out = spark.read.parquet(out_path)
+    assert out.select("url").distinct().count() == tiny_pages.count()
+
+
 def test_rerun_same_run_id_is_noop(spark, tiny_pages, paths):
     out_path, cp_path = paths
     run_extract_job(spark, tiny_pages, out_path, cp_path, run_id="r3", cfg=CFG)
