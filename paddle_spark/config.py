@@ -81,6 +81,9 @@ DROP_LABELS = frozenset({"header", "footer", "seal", "number", "stamp"})
 # text content (e.g. figure alt text / table flattening) as-is.
 PAGE_SEPARATOR_FMT_FIRST = "=== PAGE {n} ===\n\n"     # testScript.py:140-143
 PAGE_SEPARATOR_FMT = "\n\n=== PAGE {n} ===\n\n"
+# Markdown variant (client/testScript.py:156-161)
+MD_PAGE_SEPARATOR_FMT_FIRST = "# Page {n}\n\n"
+MD_PAGE_SEPARATOR_FMT = "\n\n---\n# Page {n}\n\n"
 
 
 @dataclass(frozen=True)

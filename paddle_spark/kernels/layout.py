@@ -37,6 +37,8 @@ from paddle_spark.config import (
     DROP_LABELS,
     LABELS,
     LAYOUT_THRESHOLDS,
+    MD_PAGE_SEPARATOR_FMT,
+    MD_PAGE_SEPARATOR_FMT_FIRST,
     ExtractConfig,
     merge_mode_for,
     PAGE_SEPARATOR_FMT,
@@ -152,15 +154,22 @@ def process_page(
 
 
 def extract_layout(
-    payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG
+    payload: bytes,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    markdown: bool = False,
 ) -> tuple[str, int, int]:
     """Extract ordered text from a layout payload.
 
-    Page-separator format is byte-exact with the reference client's
+    Plain format is byte-exact with the reference client's
     combined_block_content assembly (testScript.py:138-150):
     first page ``"=== PAGE 1 ===\\n\\n"``, later pages
     ``"\\n\\n=== PAGE n ===\\n\\n"``, each block contributes
     ``f"{content}\\n"``.
+
+    ``markdown=True`` mirrors the client's second output
+    (complete_document2.md, testScript.py:156-161): page headers
+    ``"# Page n"`` separated by ``"---"``, title blocks rendered as
+    ``"## <text>"`` headings.
     """
     pages = parse_synthetic_pdf(payload)
     cap = cfg.hard_page_cap
@@ -171,14 +180,16 @@ def extract_layout(
     parts: list[str] = []
     n_kept = 0
     n_dropped = 0
+    first_fmt = MD_PAGE_SEPARATOR_FMT_FIRST if markdown else PAGE_SEPARATOR_FMT_FIRST
+    later_fmt = MD_PAGE_SEPARATOR_FMT if markdown else PAGE_SEPARATOR_FMT
     for page_idx, page in enumerate(pages):
         blocks, dropped = process_page(page, cfg)
         n_dropped += dropped
-        if page_idx > 0:
-            parts.append(PAGE_SEPARATOR_FMT.format(n=page_idx + 1))
-        else:
-            parts.append(PAGE_SEPARATOR_FMT_FIRST.format(n=page_idx + 1))
+        parts.append((later_fmt if page_idx > 0 else first_fmt).format(n=page_idx + 1))
         for blk in blocks:
-            parts.append(f"{blk['text']}\n")
+            if markdown and blk["label"] == "title":
+                parts.append(f"## {blk['text']}\n\n")
+            else:
+                parts.append(f"{blk['text']}\n")
             n_kept += 1
     return "".join(parts), n_kept, n_dropped

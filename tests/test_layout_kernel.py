@@ -122,6 +122,22 @@ def test_synthetic_pdf_deterministic():
     assert ra == rb
 
 
+def test_markdown_variant():
+    pages = [
+        {"page_no": 0, "width": 1000, "height": 1000,
+         "boxes": [mk_box(0, "title", 10, 10, 900, 80, 0.95, "Big Title"),
+                   mk_box(1, "text", 10, 100, 900, 200, 0.9, "body text")]},
+        {"page_no": 1, "width": 1000, "height": 1000,
+         "boxes": [mk_box(0, "text", 10, 10, 900, 100, 0.9, "second")]},
+    ]
+    text, kept, _ = extract_layout(mk_payload(pages), markdown=True)
+    # exact reference markdown separators (testScript.py:156-161)
+    assert text == (
+        "# Page 1\n\n## Big Title\n\nbody text\n\n\n---\n# Page 2\n\nsecond\n"
+    )
+    assert kept == 3
+
+
 def test_malformed_payload_raises():
     import pytest
 
