@@ -110,6 +110,55 @@ def normalize_text(raw: str) -> str:
     return _WS_RE.sub(" ", _htmlmod.unescape(raw)).strip()
 
 
+# Charset sniffing: Common-Crawl payloads are NOT all utf-8. We honor the
+# in-document declaration (meta charset= / http-equiv content-type) from
+# the first 1024 bytes, normalize aliases, and fall back utf-8 -> latin-1
+# (latin-1 never fails, so no document is lost to decoding).
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "win-1252": "cp1252",
+    "ascii": "utf-8",       # ascii is a utf-8 subset
+    "us-ascii": "utf-8",
+}
+
+
+def sniff_charset(payload: bytes) -> str | None:
+    """Declared charset from the document head, normalized; None if absent
+    or unknown to Python's codec registry."""
+    m = _CHARSET_RE.search(payload[:1024])
+    if not m:
+        return None
+    name = m[1].decode("ascii", errors="replace").lower()
+    name = _CHARSET_ALIASES.get(name, name)
+    try:
+        b"x".decode(name)
+    except (LookupError, UnicodeDecodeError):
+        return None
+    return name
+
+
+def decode_html(payload: bytes) -> str:
+    """Decode page bytes: declared charset first, then utf-8, then latin-1
+    (total function — never raises)."""
+    charset = sniff_charset(payload)
+    if charset:
+        try:
+            return payload.decode(charset)
+        except UnicodeDecodeError:
+            pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
 # Fast-path island pre-removal: comments and script/style vanish silently
 # (exactly the reference path's behavior); each boilerplate subtree
 # (head/nav/footer/...) is replaced by a numbered <xdroppedN/> marker so the
@@ -151,10 +200,7 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
     Equivalent to ``segment_blocks_reference`` (cross-checked in tests) but
     ~1.5-2x faster via the island pre-pass above.
     """
-    try:
-        doc = payload.decode("utf-8")
-    except UnicodeDecodeError:
-        doc = payload.decode("utf-8", errors="replace")
+    doc = decode_html(payload)
 
     islands: list[tuple[str, int]] = []
 
@@ -282,10 +328,7 @@ def segment_blocks_reference(
     a boilerplate island, and text chars of islands nested in unbalanced
     drop regions — both outside the corpus and the scored-output contract.
     """
-    try:
-        doc = payload.decode("utf-8")
-    except UnicodeDecodeError:
-        doc = payload.decode("utf-8", errors="replace")
+    doc = decode_html(payload)
     blocks: list[Block] = []
     drop_depth = 0
     link_depth = 0

@@ -113,6 +113,42 @@ def test_malformed_html_no_crash():
     assert LONG.split()[0] in text
 
 
+def test_charset_sniffing():
+    from paddle_spark.kernels.html import decode_html, sniff_charset
+
+    latin = (
+        '<html><head><meta charset="ISO-8859-1"></head><body>'
+        f"<p>{LONG} Café señor</p></body></html>"
+    ).encode("latin-1")
+    assert sniff_charset(latin) == "latin-1"
+    assert "Café señor" in decode_html(latin)
+    text, _, _ = extract_html(latin)
+    assert "Café señor" in text
+
+    # http-equiv variant
+    httpeq = (
+        "<html><head><meta http-equiv=\"Content-Type\" "
+        "content=\"text/html; charset=windows-1252\"></head><body>"
+        f"<p>{LONG} quote \x93x\x94</p></body></html>"
+    ).encode("latin-1")
+    assert sniff_charset(httpeq) == "cp1252"
+    text, _, _ = extract_html(httpeq)
+    assert "“x”" in text  # cp1252 smart quotes decoded
+
+    # undeclared invalid utf-8 falls back to latin-1 (never lost)
+    raw = b"<html><body><p>" + LONG.encode() + b" caf\xe9</p></body></html>"
+    text, _, _ = extract_html(raw)
+    assert "caf\xe9" in text
+
+    # unknown charset name is ignored gracefully
+    bogus = (
+        '<html><head><meta charset="not-a-real-charset"></head><body>'
+        f"<p>{LONG}</p></body></html>"
+    ).encode()
+    assert sniff_charset(bogus) is None
+    assert extract_html(bogus)[0] == LONG
+
+
 def test_blocks_have_monotonic_ids():
     blocks = segment_blocks(doc(f"<p>{LONG}</p><p>{LONG}</p><nav>x y z w</nav>"))
     ids = [b.block_id for b in blocks]
