@@ -111,7 +111,9 @@ def timed_best(mk, repeats: int = 2) -> float:
 
 def ensure_corpus(spark, n_rows: int, seed: int) -> str:
     """Materialize the deterministic bench corpus once (distributed gen)."""
-    path = f"/tmp/paddle_spark_bench_corpus_{n_rows}_{seed}_snappy.parquet"
+    from paddle_spark.sources.synth import GEN_VERSION
+
+    path = f"/tmp/paddle_spark_bench_corpus_v{GEN_VERSION}_{n_rows}_{seed}_snappy.parquet"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from paddle_spark.sources.synth import gen_pages_spark

@@ -48,6 +48,13 @@ MEGA_HOST_SHARE = 0.4  # host0 share of rows
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
+# Bump when generation rules change so cached corpora regenerate.
+GEN_VERSION = 2
+
+# latin-1 body vocabulary for the charset-declared pages (non-ascii on
+# purpose — exercises the charset sniffing path end-to-end)
+_LATIN_WORDS = "café señor über jalapeño crème naïve façade piñata".split()
+
 
 def _rng(seed: int, i: int) -> random.Random:
     return random.Random(seed * 1_000_003 + i)
@@ -109,6 +116,26 @@ def make_html(rng: random.Random, i: int) -> bytes:
         "</body></html>"
     )
     return doc.encode("utf-8")
+
+
+def make_html_latin1(rng: random.Random, i: int) -> bytes:
+    """A charset-declared ISO-8859-1 page (Common Crawl is not all utf-8):
+    body mixes the seeded vocabulary with latin-1-only characters."""
+    paras = []
+    for _ in range(rng.randint(2, 6)):
+        words = [rng.choice(_WORDS) for _ in range(rng.randint(10, 20))]
+        words.insert(rng.randint(0, len(words)), rng.choice(_LATIN_WORDS))
+        paras.append("<p>" + " ".join(words).capitalize() + ".</p>")
+    doc = (
+        "<html><head>"
+        '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        f"<title>{rng.choice(_LATIN_WORDS)}</title></head><body>"
+        f"<nav>{_nav_links(rng, rng.randint(4, 8))}</nav>"
+        "<article>" + "".join(paras) + "</article>"
+        f"<footer>© {rng.choice(_LATIN_WORDS)}</footer>"
+        "</body></html>"
+    )
+    return doc.encode("latin-1")
 
 
 def _box(box_id, label, x1, y1, x2, y2, score, text):
@@ -191,8 +218,10 @@ def gen_page_row(i: int, seed: int = 42) -> tuple:
     url = f"https://{host}/p/{i:08d}"
     ts = _EPOCH + dt.timedelta(seconds=i * 137)
     kind_roll = rng.random()
-    if kind_roll < 0.90:
+    if kind_roll < 0.87:
         payload = make_html(rng, i)
+    elif kind_roll < 0.90:
+        payload = make_html_latin1(rng, i)
     elif kind_roll < 0.98:
         payload = make_pdf(rng, i)
     else:
