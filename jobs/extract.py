@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="lineage granularity (checkpoint unit)")
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--bucket-groups", type=int, default=1,
+                    help="commit incrementally in N sequential bucket groups\n"
+                         "(crash loses at most one group)")
     ap.add_argument("--max-pages-per-doc", type=int, default=None)
     args = ap.parse_args(argv)
     if not args.gen and not args.input:
@@ -51,7 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from paddle_spark.config import ExtractConfig
-    from paddle_spark.operators.checkpoint import run_extract_job
+    from paddle_spark.operators.checkpoint import (
+        run_extract_job,
+        run_extract_job_grouped,
+    )
     from paddle_spark.sources.synth import gen_pages_spark
 
     # spark-submit owns master/memory; default only if launched bare.
@@ -77,15 +83,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = spark.read.parquet(args.input)
 
-    summary = run_extract_job(
-        spark,
-        pages,
-        output_path=args.output,
-        checkpoint_path=args.checkpoint,
-        run_id=args.run_id,
-        cfg=cfg,
-        n_partitions=args.n_partitions,
-    )
+    if args.bucket_groups > 1:
+        summary = run_extract_job_grouped(
+            spark, pages, output_path=args.output,
+            checkpoint_path=args.checkpoint, run_id=args.run_id, cfg=cfg,
+            n_groups=args.bucket_groups, n_partitions=args.n_partitions,
+        )
+    else:
+        summary = run_extract_job(
+            spark,
+            pages,
+            output_path=args.output,
+            checkpoint_path=args.checkpoint,
+            run_id=args.run_id,
+            cfg=cfg,
+            n_partitions=args.n_partitions,
+        )
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -107,6 +107,45 @@ def test_crash_then_resume_exactly_once(spark, tiny_pages, paths):
     assert out.select("url").distinct().count() == tiny_pages.count()
 
 
+def test_grouped_commit_bounds_rework(spark, tiny_pages, paths):
+    """Crash mid-run with grouped commits: completed groups stay durable,
+    the re-run redoes only the remainder."""
+    import pytest as _pytest
+    from dataclasses import replace
+
+    from paddle_spark.operators.checkpoint import run_extract_job_grouped
+
+    out_path, cp_path = paths
+    # find a url in the LAST group (bucket % 4 == 3) to poison
+    victim = (
+        tiny_pages.withColumn(
+            "b", url_bucket_col(F.col("url"), CFG.n_buckets, CFG.salt)
+        )
+        .filter(F.col("b") % 4 == 3)
+        .select("url")
+        .first()["url"]
+    )
+    poisoned = replace(CFG, fail_batch_marker=victim)
+    with _pytest.raises(Exception):
+        run_extract_job_grouped(
+            spark, tiny_pages, out_path, cp_path, run_id="rg", cfg=poisoned,
+            n_groups=4, n_partitions=4,
+        )
+    # groups 0-2 committed durably (their buckets have lineage), group 3 not
+    done = {r["bucket"] for r in completed_buckets(spark, cp_path, "rg").collect()}
+    assert done and all(b % 4 != 3 for b in done)
+
+    # clean resume completes only the remainder, exactly-once overall
+    s = run_extract_job_grouped(
+        spark, tiny_pages, out_path, cp_path, run_id="rg", cfg=CFG,
+        n_groups=4, n_partitions=4,
+    )
+    assert s["buckets_skipped"] == len(done)
+    out = spark.read.parquet(out_path)
+    assert out.count() == tiny_pages.count()
+    assert out.select("url").distinct().count() == tiny_pages.count()
+
+
 def test_rerun_same_run_id_is_noop(spark, tiny_pages, paths):
     out_path, cp_path = paths
     run_extract_job(spark, tiny_pages, out_path, cp_path, run_id="r3", cfg=CFG)
