@@ -17,7 +17,14 @@ Conventions that keep the driver's hash-compare honest:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# paddle_spark must be importable wherever the driver loads this module from
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
