@@ -547,6 +547,95 @@ GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "revenue",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       revenue, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         row_number() OVER (
+           ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                    o_orderkey ASC) AS rk
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY o_orderkey, o_orderdate
+) WHERE rk <= 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through two broadcast-able dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        c.join(dims, c.c_nationkey == dims.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_REGIONAL_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all grouping-set combos incl. grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1278,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_aggregates": q_counter_aggregates,
         "status_aggregation": q_status_aggregation,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
         "cube_rollup": q_cube_rollup,
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
@@ -1333,6 +1424,8 @@ def oracle_sql() -> dict[str, str]:
         "counter_aggregates": _COUNTER_ORACLE,
         "status_aggregation": _STATUS_AGG_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
+        "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
+        "regional_revenue": _REGIONAL_REVENUE_ORACLE,
         "cube_rollup": _CUBE_ORACLE,
         "distinct_agg": _DISTINCT_AGG_ORACLE,
         "set_ops": _SET_OPS_ORACLE,
