@@ -1,0 +1,86 @@
+"""End-to-end corpus curation: the training-data pipeline composed.
+
+pages → extract (HTML/layout branches) → language gate → quality gate →
+exact dedup → MinHash-LSH near-dedup → curated corpus + funnel metrics.
+
+Each stage is one of the engine's tested operators; this module only
+composes plans (no new semantics). At 10^12 docs the funnel is the
+standard C4/RefinedWeb shape: the expensive stages (extraction, MinHash)
+are map-heavy and the dedup joins are LSH-bucketed equi-joins — no stage
+is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+from paddle_spark.operators.dedup import (
+    drop_exact_dups,
+    drop_near_dup_candidates,
+    minhash_dedup_candidates,
+)
+from paddle_spark.operators.extract_job import extract_pages
+from paddle_spark.operators.textstats import langid, quality_features
+
+
+def curate(
+    pages: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 10,
+    num_perm: int = 32,
+    bands: int = 8,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run the curation funnel. Returns (curated DataFrame, funnel counts).
+
+    The counts dict materializes the intermediate stages (each count is an
+    action) — callers that only want the plan can ignore it by passing the
+    returned DataFrame straight to a writer.
+    """
+    counts: dict[str, int] = {}
+    counts["docs_in"] = pages.count()
+
+    extracted = extract_pages(pages, cfg, n_partitions).filter(
+        F.col("parse_ok") & (F.length("text") > 0)
+    )
+    # cache: the funnel reuses this frame across several stages
+    extracted = extracted.persist()
+    counts["extracted_ok"] = extracted.count()
+
+    lang_tbl = langid(extracted, id_col="url", text_col="text").select(
+        "url", "lang_guess"
+    )
+    quality_tbl = quality_features(extracted, id_col="url", text_col="text").select(
+        "url", "n_tokens", "quality_score"
+    )
+    gated = (
+        extracted.join(lang_tbl, "url")
+        .join(quality_tbl, "url")
+        .filter(F.col("lang_guess").isin(*langs))
+    )
+    counts["after_lang"] = gated.count()
+    gated = gated.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    counts["after_quality"] = gated.count()
+
+    exact = drop_exact_dups(gated, id_col="url", key=F.col("text"))
+    counts["after_exact_dedup"] = exact.count()
+
+    pairs = minhash_dedup_candidates(
+        exact, id_col="url", text_col="text", num_perm=num_perm, bands=bands
+    )
+    curated = drop_near_dup_candidates(exact, pairs, id_col="url")
+    counts["after_near_dedup"] = curated.count()
+
+    extracted.unpersist()
+    return (
+        curated.select(
+            "url", "lang_guess", "n_tokens", "quality_score", "text", "text_sha256"
+        ),
+        counts,
+    )

@@ -148,6 +148,19 @@ def lsh_candidate_pairs(
     )
 
 
+def drop_near_dup_candidates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy near-dup removal from candidate pairs: for every (a, b) pair
+    (a < b by construction) the larger id drops — each duplicate cluster
+    keeps its smallest id without an iterative connected-components pass
+    (the standard web-dedup compromise: transitive chains collapse toward
+    the minimum over repeated LSH bands in practice). One broadcast-able
+    distinct + anti-join."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_dedup_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
