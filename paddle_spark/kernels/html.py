@@ -106,8 +106,11 @@ class Block:
 
 def normalize_text(raw: str) -> str:
     """Entity unescape + whitespace collapse + trim (strip-chain parity,
-    bbox_text_matcher.py:137-146)."""
-    return _WS_RE.sub(" ", _htmlmod.unescape(raw)).strip()
+    bbox_text_matcher.py:137-146). unescape() is the identity on text
+    without '&', so the guard changes nothing but the cost."""
+    if "&" in raw:
+        raw = _htmlmod.unescape(raw)
+    return _WS_RE.sub(" ", raw).strip()
 
 
 # Charset sniffing: Common-Crawl payloads are NOT all utf-8. We honor the
