@@ -43,8 +43,11 @@ _FAN_OUT = {"documents", "embeddings", "events", "lineitem", "orders"}
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _FAN_OUT:
+        # One input file ≈ one row group ≈ one scan partition for these
+        # small fixtures; fan out so per-row-heavy queries parallelize.
+        # (inputFiles, not df.rdd.getNumPartitions — stay off the RDD API.)
         p = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, p // 4):
+        if len(df.inputFiles()) < max(2, p // 4):
             df = df.repartition(p)
     return df
 
@@ -874,7 +877,7 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _t(spark, sf_dir, "part")
     html = F.concat(
-        F.lit('<div><img src="x.jpg"></div><p>'),
+        F.lit('<DIV><IMG src="x.jpg"></div><p>'),
         F.col("p_name"),
         F.lit('</p> <img alt="y"> <b>'),
         F.col("p_brand"),
@@ -886,10 +889,10 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_STRIP_ORACLE = r"""
 SELECT p_partkey,
   trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    '<div><img src="x.jpg"></div><p>' || p_name || '</p> <img alt="y"> <b>' || p_brand || '</b>',
-    '<div[^>]*>\s*<img[^>]*>\s*</div>', ' ', 'g'),
-    '<img[^>]*>', ' ', 'g'),
-    '<[^>]+>', ' ', 'g'),
+    '<DIV><IMG src="x.jpg"></div><p>' || p_name || '</p> <img alt="y"> <b>' || p_brand || '</b>',
+    '<div[^>]*>\s*<img[^>]*>\s*</div>', '', 'gis'),
+    '<img[^>]*>', '', 'gi'),
+    '<[^>]+>', '', 'g'),
     '\s+', ' ', 'g')) AS clean
 FROM part
 """
@@ -1019,6 +1022,41 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+"""
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: banded hyperplane LSH ->
+    (band, bucket) equi-join -> cosine filter.
+
+    The fixture's natural pairs top out at cosine ~0.6 — below any sane
+    near-dup threshold — so the query plants exact duplicates of the first
+    5 vectors (vec_id + 1000000), identically in the oracle SQL. Identical
+    vectors share every band bucket, so recall for the planted pairs is
+    structurally 1.0 and the LSH output equals the exact pairwise result:
+    a full hash-green oracle for the banded path."""
+    from paddle_spark.operators.similarity import bucketed_near_dups
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return bucketed_near_dups(
+        e.unionByName(planted), threshold=0.95, n_bands=8, planes_per_band=4,
+        dim=64,
+    )
+
+
+_EMB_BUCKETED_ORACLE = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
 """
 
 
@@ -1241,14 +1279,22 @@ FROM (
 
 def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media 'decode' (rows-only: stub dims derive from
-    sha256 bytes — plumbing is the tested part)."""
+    sha256 bytes — plumbing is the tested part).
+
+    The operator keeps ``feature`` as array<float>; the driver's
+    canonicalizer sorts object columns, so this query projects a hashable
+    twin (``to_json``) instead of the raw array."""
     from paddle_spark.operators.multimodal import decode_media
 
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    return decode_media(media)
+    dec = decode_media(media)
+    return dec.select(
+        "media_id", "width", "height", "n_frames",
+        F.to_json("feature").alias("feature_json"), "decode_ok",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1390,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1442,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": _EMB_NEAR_DUP_ORACLE,
+        "dedup_embedding_bucketed": _EMB_BUCKETED_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_assign": _IVF_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,

@@ -26,8 +26,12 @@ def payload_kind_col(html: Column) -> Column:
     img = F.lit(False)
     for magic in IMAGE_MAGICS:
         img = img | (F.substring(html, 1, len(magic)) == F.lit(magic))
-    # HTML: first non-whitespace byte is '<' (checked on a decoded prefix)
-    prefix = F.ltrim(F.decode(F.substring(html, 1, 256), "UTF-8"))
+    # HTML: first non-whitespace byte is '<' (checked on a decoded prefix).
+    # ltrim strips only spaces; the kernel's bytes.lstrip() strips all ASCII
+    # whitespace (\t \n \r \x0b \x0c), so trim with a regex for parity.
+    prefix = F.regexp_replace(
+        F.decode(F.substring(html, 1, 256), "UTF-8"), r"^[\s\x0b]+", ""
+    )
     is_html = F.substring(prefix, 1, 1) == F.lit("<")
     return (
         F.when(is_pdf, F.lit("pdf"))
@@ -69,12 +73,14 @@ def bbox_key_from_filename(name: Column) -> Column:
 
 
 def html_strip_chain(col: Column) -> Column:
-    """The reference's HTML clean chain as Column ops (X4 parity,
-    bbox_text_matcher.py:127-146): drop <div><img></div> wrappers, drop
-    <img>, drop all tags, collapse whitespace, trim."""
-    c = F.regexp_replace(col, r"<div[^>]*>\s*<img[^>]*>\s*</div>", " ")
-    c = F.regexp_replace(c, r"<img[^>]*>", " ")
-    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    """The reference's HTML clean chain as Column ops (X4 exact parity,
+    bbox_text_matcher.py:127-146): drop <div><img></div> wrappers
+    (IGNORECASE|DOTALL), drop <img> (IGNORECASE), drop all tags, collapse
+    whitespace, trim. Replacements are empty strings, matching the
+    reference — so 'a<img>b' -> 'ab', not 'a b'."""
+    c = F.regexp_replace(col, r"(?is)<div[^>]*>\s*<img[^>]*>\s*</div>", "")
+    c = F.regexp_replace(c, r"(?i)<img[^>]*>", "")
+    c = F.regexp_replace(c, r"<[^>]+>", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

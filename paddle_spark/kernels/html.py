@@ -58,6 +58,12 @@ _TOKEN_RE = re.compile(
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _WS_RE = re.compile(r"\s+")
 
+# Island-marker sentinel: a private-use codepoint that decode_html scrubs
+# from every input, so a marker tag like "< 12/>" cannot be forged by
+# wild/adversarial pages (it is also unmatchable by _TAG_NAME_RE, which only
+# admits ASCII-letter tag names).
+_MARK = "\ue000"
+
 # Elements whose entire subtree is boilerplate or non-text.
 DROP_TAGS = frozenset(
     {
@@ -149,22 +155,29 @@ def sniff_charset(payload: bytes) -> str | None:
 
 def decode_html(payload: bytes) -> str:
     """Decode page bytes: declared charset first, then utf-8, then latin-1
-    (total function — never raises)."""
+    (total function — never raises).
+
+    The private-use sentinel ``_MARK`` is scrubbed from the decoded text so
+    the fast path's island markers (``<\\ue000N/>``) can never collide with
+    wild/adversarial input. Both ``segment_blocks`` and
+    ``segment_blocks_reference`` decode through here, so the scrub cannot
+    break fast-vs-reference equivalence.
+    """
     charset = sniff_charset(payload)
     if charset:
         try:
-            return payload.decode(charset)
+            return payload.decode(charset).replace(_MARK, "")
         except UnicodeDecodeError:
             pass
     try:
-        return payload.decode("utf-8")
+        return payload.decode("utf-8").replace(_MARK, "")
     except UnicodeDecodeError:
-        return payload.decode("latin-1")
+        return payload.decode("latin-1").replace(_MARK, "")
 
 
 # Fast-path island pre-removal: comments and script/style vanish silently
 # (exactly the reference path's behavior); each boilerplate subtree
-# (head/nav/footer/...) is replaced by a numbered <xdroppedN/> marker so the
+# (head/nav/footer/...) is replaced by a numbered sentinel marker so the
 # main loop can emit its drop-block at the right position with the right
 # char count. One C-level regex pass removes ~half the tokens the Python
 # loop would otherwise touch. Same-tag nesting inside an island (a <form>
@@ -215,7 +228,7 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
         # drop islands always produce a marker: entering a boilerplate
         # subtree must end the open block even when the subtree is empty
         islands.append((m[2].lower(), _island_text_chars(m[0])))
-        return f"<xdropped{len(islands) - 1}/>"
+        return f"<{_MARK}{len(islands) - 1}/>"
 
     doc = _ISLAND_RE.sub(_replace, doc)
     blocks: list[Block] = []
@@ -265,25 +278,30 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
         if lower4 == "<scr" or lower4 == "<sty":
             # whole script/style island consumed by the tokenizer
             continue
-        nm = _TAG_NAME_RE.match(tok)
-        if nm is None:  # doctype, malformed
-            continue
-        name = nm[1].lower()
-        closing = tok[1] == "/"
-        self_closing = tok.rstrip()[-2:-1] == "/" or name in _VOID_TAGS
-
-        if name.startswith("xdropped"):
+        if tok[1:2] == _MARK:
             # pre-removed boilerplate island: ends any open block and emits
-            # the drop-block at its document position (no block if empty)
+            # the drop-block at its document position (no block if empty).
+            # _MARK cannot occur in input (decode_html scrubs it), so the
+            # index is always ours — the parse is still guarded for safety.
             if drop_depth == 0:
                 flush("")
-                tag, n = islands[int(name[8:])]
+                try:
+                    tag, n = islands[int(tok[2:-2])]
+                except (ValueError, IndexError):  # pragma: no cover
+                    continue
                 if n > 0:
                     blocks.append(
                         Block(block_id, tag, "", n, 0, False, "drop_region")
                     )
                     block_id += 1
             continue
+
+        nm = _TAG_NAME_RE.match(tok)
+        if nm is None:  # doctype, malformed
+            continue
+        name = nm[1].lower()
+        closing = tok[1] == "/"
+        self_closing = tok.rstrip()[-2:-1] == "/" or name in _VOID_TAGS
 
         if name == "a":
             if closing:

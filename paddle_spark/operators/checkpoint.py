@@ -15,9 +15,10 @@ dynamic partition overwrite, so re-running a bucket replaces exactly its
 own files — exactly-once per url without a transactional table.
 
 On a cluster with the Iceberg runtime jar this maps 1:1 onto
-``writeTo(...).overwritePartitions()`` + an Iceberg checkpoint table; the
-import-gated ``_HAVE_ICEBERG`` switch below is where that binds. The
-sandbox falls back to plain parquet directories with identical layout.
+``writeTo(...).overwritePartitions()`` + an Iceberg checkpoint table —
+pass ``output_table``/``checkpoint_table`` (see ``write_extracted`` /
+``append_checkpoint``; ``iceberg_catalog_configured`` probes the binding).
+The sandbox falls back to plain parquet directories with identical layout.
 """
 
 from __future__ import annotations
@@ -33,12 +34,15 @@ from pyspark.sql import types as T
 from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
 from paddle_spark.operators.extract_job import extract_pages, extraction_metrics
 
-try:  # pragma: no cover — Iceberg runtime not in this sandbox
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
-
-    _HAVE_ICEBERG = False  # set True when spark.sql.catalog.* is configured
-except ImportError:  # pragma: no cover
-    _HAVE_ICEBERG = False
+def iceberg_catalog_configured(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    """True when an Iceberg catalog is bound on this session (the runtime
+    jar + ``spark.sql.catalog.<name>`` conf). The sandbox has neither, so
+    the parquet-directory fallback below carries identical semantics."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    return bool(impl)
 
 CHECKPOINT_SCHEMA = T.StructType(
     [
@@ -75,6 +79,56 @@ def completed_buckets(spark: SparkSession, path: str, run_id: str) -> DataFrame:
     )
 
 
+def write_extracted(
+    extracted: DataFrame,
+    output_path: str | None = None,
+    output_table: str | None = None,
+) -> None:
+    """Durable-write the extracted frame, replacing exactly the bucket
+    partitions present in it (idempotent resume).
+
+    Iceberg path (``output_table`` on a configured catalog):
+    ``writeTo(...).overwritePartitions()`` — a single ACID snapshot commit.
+    Parquet-dir fallback: dynamic partition overwrite, scoped to THIS write
+    via the writer option (never mutates session conf — a leaked
+    ``partitionOverwriteMode=dynamic`` would silently turn every later
+    ``mode('overwrite')`` in the session into a partial overwrite).
+    """
+    if output_table is not None:
+        try:
+            extracted.writeTo(output_table).overwritePartitions()
+            return
+        except Exception:
+            # table does not exist yet: create partitioned by bucket
+            (
+                extracted.writeTo(output_table)
+                .partitionedBy(F.col("bucket"))
+                .createOrReplace()
+            )
+            return
+    (
+        extracted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+
+
+def append_checkpoint(
+    cp_rows: DataFrame,
+    checkpoint_path: str | None = None,
+    checkpoint_table: str | None = None,
+) -> None:
+    """Append lineage rows (Iceberg table when bound, else parquet dir)."""
+    if checkpoint_table is not None:
+        try:
+            cp_rows.writeTo(checkpoint_table).append()
+        except Exception:
+            cp_rows.writeTo(checkpoint_table).create()
+        return
+    cp_rows.write.mode("append").parquet(checkpoint_path)
+
+
 def run_extract_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -83,6 +137,8 @@ def run_extract_job(
     run_id: str | None = None,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
+    output_table: str | None = None,
+    checkpoint_table: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job.
 
@@ -91,37 +147,49 @@ def run_extract_job(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     done = completed_buckets(spark, checkpoint_path, run_id)
-    n_skipped = done.count()
+    done_set = {r["bucket"] for r in done.collect()}
+    n_skipped = len(done_set)
 
-    # Resume anti-join. `done` is at most n_buckets rows — always broadcast.
+    # Resume filter: done buckets are at most n_buckets values, collected
+    # above — a driver-side isin predicate beats even a broadcast anti-join
+    # (no join at all, and the NOT-IN can partition-prune a bucketed scan).
     from paddle_spark.functions import url_bucket_col
 
     pages_b = pages.withColumn(
         "bucket", url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt)
     )
-    todo = pages_b.join(F.broadcast(done), "bucket", "left_anti").drop("bucket")
+    todo = (
+        pages_b.filter(~F.col("bucket").isin(sorted(done_set)))
+        if done_set
+        else pages_b
+    ).drop("bucket")
 
     t0 = time.time()
-    extracted = extract_pages(todo, cfg, n_partitions)
-
-    # Dynamic partition overwrite: re-running a bucket replaces only that
-    # bucket's files (idempotent resume; Iceberg overwritePartitions analog).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        extracted.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(output_path)
+    # Every output row is stamped with its producing run_id — per-row
+    # lineage that also makes the metrics read below EXACT (stale partitions
+    # left in a reused output dir by an earlier run can never be attributed
+    # to this run, even for buckets this run's input does not cover).
+    extracted = extract_pages(todo, cfg, n_partitions).withColumn(
+        "run_id", F.lit(run_id)
     )
+    write_extracted(extracted, output_path, output_table)
     elapsed = time.time() - t0
 
-    # Lineage/metrics rows — computed from the *written* table so they
-    # describe durable output, not a speculative plan.
-    out = spark.read.parquet(output_path)
-    metrics = extraction_metrics(out).join(
-        F.broadcast(done.withColumnRenamed("bucket", "b")),
-        F.col("bucket") == F.col("b"),
-        "left_anti",
+    # Lineage/metrics from durable output — but NEVER a full-table pass:
+    # bucket ∈ candidates prunes to this run's partitions (done buckets
+    # were skipped; untouched buckets can't hold our run_id), run_id == ours
+    # excludes stale rows, and the groupBy reads 4 narrow int columns
+    # (column pruning: the heavy `text` column is never scanned).
+    candidates = [b for b in range(cfg.n_buckets) if b not in done_set]
+    out = (
+        spark.read.table(output_table)
+        if output_table is not None
+        else spark.read.parquet(output_path)
     )
+    this_run = out.filter(
+        F.col("bucket").isin(candidates) & (F.col("run_id") == run_id)
+    )
+    metrics = extraction_metrics(this_run)
     now = F.current_timestamp()
     total = metrics.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
@@ -140,7 +208,7 @@ def run_extract_job(
         now.alias("finished_at"),
         F.lit("success").alias("status"),
     )
-    cp_rows.write.mode("append").parquet(checkpoint_path)
+    append_checkpoint(cp_rows, checkpoint_path, checkpoint_table)
 
     return {
         "run_id": run_id,

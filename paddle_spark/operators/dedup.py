@@ -337,11 +337,13 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold.
+    """Pairs with cosine >= threshold — the EXACT baseline.
 
-    Sandbox scale: full pairwise (range self-join a<b). At 10^9 vectors
-    this composes with `similarity.lsh_buckets` to restrict the join to
-    same-bucket pairs — see similarity.bucketed_near_dups.
+    Full pairwise (range self-join a<b): O(N^2) distance evals, fine for
+    verification corpora only. The scale path is
+    ``similarity.bucketed_near_dups`` (banded hyperplane LSH -> (band,
+    bucket) equi-join -> cosine filter), which returns a subset of these
+    pairs with recall ~1 at the default 8x4 bands.
     """
     v = emb.select(
         F.col(id_col).alias("id"),

@@ -154,3 +154,60 @@ def test_rerun_same_run_id_is_noop(spark, tiny_pages, paths):
     assert s["n_docs"] == 0
     assert s["buckets_skipped"] == CFG.n_buckets
     assert spark.read.parquet(out_path).count() == before
+
+
+def test_reused_output_dir_never_attributes_stale_data(spark, tiny_pages, paths):
+    """Round-1 advice repro: a grouped run into a directory that already
+    holds an EARLIER run's output must (a) not record the old run's docs as
+    this run's successes, (b) actually process every group of the current
+    input. Exactness comes from the per-row run_id stamp."""
+    from paddle_spark.operators.checkpoint import run_extract_job_grouped
+
+    out_path, cp_path = paths
+    # old run over the full corpus, separate checkpoint dir (dead lineage)
+    run_extract_job(
+        spark, tiny_pages, out_path, cp_path + "_old", run_id="old", cfg=CFG,
+        n_partitions=4,
+    )
+    # new grouped run over a 60-doc subset into the SAME output dir
+    subset = tiny_pages.limit(60)
+    n_subset = subset.count()
+    s = run_extract_job_grouped(
+        spark, subset, out_path, cp_path, run_id="new", cfg=CFG, n_groups=4,
+        n_partitions=4,
+    )
+    assert s["n_docs"] == n_subset, "lineage must count ONLY this run's docs"
+    cp = read_checkpoint(spark, cp_path).filter(F.col("run_id") == "new")
+    assert sum(r["n_docs"] for r in cp.collect()) == n_subset
+    # and the output rows carry their producing run_id
+    out = spark.read.parquet(out_path)
+    per_run = {r["run_id"]: r["n"] for r in out.groupBy("run_id").agg(F.count("*").alias("n")).collect()}
+    assert per_run["new"] == n_subset
+
+
+def test_metrics_read_is_partition_pruned(spark, tiny_pages, paths):
+    """The lineage/metrics read must touch only this run's bucket
+    partitions — never a full-table scan of the output dir (round-1
+    verdict item #6)."""
+    out_path, cp_path = paths
+    # pre-existing durable lineage for buckets 0-5 under the same run_id
+    half = tiny_pages.withColumn(
+        "b", url_bucket_col(F.col("url"), CFG.n_buckets, CFG.salt)
+    ).filter(F.col("b") < 6).drop("b")
+    run_extract_job(spark, half, out_path, cp_path, run_id="r9", cfg=CFG,
+                    n_partitions=4)
+    # resume: only buckets 6,7 remain
+    run_extract_job(spark, tiny_pages, out_path, cp_path, run_id="r9",
+                    cfg=CFG, n_partitions=4)
+    # replicate the metrics read the job performs and check that the scan
+    # (a) partition-prunes on bucket and (b) never reads the heavy text col
+    out = spark.read.parquet(out_path)
+    pruned = out.filter(
+        F.col("bucket").isin([6, 7]) & (F.col("run_id") == "r9")
+    ).groupBy("bucket").count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+    scan = plan.split("ReadSchema", 1)[1][:300]
+    assert "text" not in scan, scan

@@ -12,3 +12,24 @@ def test_magic_bytes():
     assert classify_payload(b"\x00\x01binary") == "garbage"
     assert classify_payload(b"") == "garbage"
     assert classify_payload(None) == "garbage"
+
+
+def test_column_twin_parity(spark):
+    """payload_kind_col must agree with the Python kernel — including
+    payloads whose first byte is \\n/\\t before <!DOCTYPE (ltrim-vs-lstrip
+    divergence fixed per round-1 advice)."""
+    from paddle_spark.functions import payload_kind_col
+    from pyspark.sql import functions as F
+
+    payloads = [
+        b"%PDF-1.4\nxx", b"<!DOCTYPE html><html>", b"  \n\t <html>",
+        b"\n<!DOCTYPE html><body>x</body>", b"\t\r\n<html>", b"\x0b\x0c<html>",
+        b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xffdata", b"GIF89aabc",
+        b"II*\x00tiff", b"\x00\x01binary", b"", b"plain text not html",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    got = {r["i"]: r["k"] for r in df.select("i", payload_kind_col(F.col("html")).alias("k")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == classify_payload(p), (i, p)

@@ -59,3 +59,20 @@ def test_equal_on_generated_fragments(parts):
     assert as_tuples(segment_blocks(payload)) == as_tuples(
         segment_blocks_reference(payload)
     )
+
+
+def test_adversarial_marker_tags_cannot_collide():
+    """Wild pages containing literal marker-lookalike tags (<xdropped0/>,
+    the historical marker name) or the private-use sentinel itself must not
+    crash the fast path or diverge from the reference segmenter."""
+    cases = [
+        b"<html><body><p>before</p><xdropped0/><p>afterwards text that is long enough</p></body></html>",
+        b"<html><body><xdropped999/><nav>boiler</nav><p>main content paragraph long enough</p></body></html>",
+        b"<html><body><p>a \xee\x80\x80 sentinel in text run long enough to keep</p></body></html>",
+        b"<html><body><\xee\x80\x8012/><p>fake sentinel tag plus long enough text</p></body></html>",
+        b"<html><body><xdroppedfoo><p>unparseable index long enough paragraph</p></body></html>",
+    ]
+    for payload in cases:
+        fast = as_tuples(segment_blocks(payload))
+        ref = as_tuples(segment_blocks_reference(payload))
+        assert fast == ref, payload

@@ -98,3 +98,38 @@ def test_no_python_udf_in_plans(embeddings):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_near_dups_recall_vs_exact(spark, embeddings):
+    """Planted near-dups (tiny deterministic perturbation, cosine ~0.9997)
+    must all be recovered by the banded LSH path, and every returned pair
+    must appear in the exact pairwise result (precision 1.0)."""
+    from paddle_spark.operators.dedup import embedding_near_dups
+
+    base = embeddings.select("vec_id", "embedding").limit(200)
+    # perturb: scale every coordinate by 1.02 and add a small constant to
+    # the first one via JVM-side transform — near-identical direction
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: (x * 1.02 + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))).cast("float")
+        ).alias("embedding"),
+    )
+    u = base.unionByName(planted)
+    approx = S.bucketed_near_dups(u, threshold=0.95, n_bands=8, planes_per_band=4)
+    exact = embedding_near_dups(u, threshold=0.95)
+    ap = {(r["a"], r["b"]) for r in approx.collect()}
+    ex = {(r["a"], r["b"]) for r in exact.collect()}
+    planted_pairs = {(v, v + 10000) for v in range(8)}
+    assert planted_pairs <= ex, "planted dups must clear the exact threshold"
+    assert planted_pairs <= ap, "banded LSH must recover every planted dup"
+    assert ap <= ex, "LSH output must be a subset of exact pairs (precision 1)"
+
+
+def test_bucketed_near_dups_no_cartesian(embeddings):
+    """The candidate join must be a hash equi-join on (band, bucket) —
+    never a cartesian/BNLJ product."""
+    out = S.bucketed_near_dups(embeddings.limit(50))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
