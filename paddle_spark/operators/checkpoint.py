@@ -68,10 +68,22 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([], CHECKPOINT_SCHEMA)
 
 
-def completed_buckets(spark: SparkSession, path: str, run_id: str) -> DataFrame:
+def completed_buckets(
+    spark: SparkSession,
+    path: str,
+    run_id: str,
+    checkpoint_table: str | None = None,
+) -> DataFrame:
     """Buckets already extracted successfully for this run (F10 analog:
     keep only fresh, successful lineage rows)."""
-    cp = read_checkpoint(spark, path)
+    if checkpoint_table is not None:
+        cp = (
+            spark.read.table(checkpoint_table)
+            if spark.catalog.tableExists(checkpoint_table)
+            else spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        )
+    else:
+        cp = read_checkpoint(spark, path)
     return (
         cp.filter((F.col("run_id") == run_id) & (F.col("status") == "success"))
         .select("bucket")
@@ -95,17 +107,20 @@ def write_extracted(
     ``mode('overwrite')`` in the session into a partial overwrite).
     """
     if output_table is not None:
-        try:
+        spark = extracted.sparkSession
+        if spark.catalog.tableExists(output_table):
+            # ACID snapshot commit replacing exactly the buckets present
+            # in the frame (the Iceberg-native analog of dynamic
+            # partition overwrite). Existence is checked explicitly —
+            # never except-fallback into createOrReplace, which would
+            # clobber other buckets' durable data on a resume.
             extracted.writeTo(output_table).overwritePartitions()
-            return
-        except Exception:
-            # table does not exist yet: create partitioned by bucket
-            (
-                extracted.writeTo(output_table)
-                .partitionedBy(F.col("bucket"))
-                .createOrReplace()
-            )
-            return
+        else:
+            # existence was checked above, so plain create (CTAS) — also
+            # the only create form the session catalog supports, which is
+            # what the sandbox test exercises this path against
+            extracted.writeTo(output_table).partitionedBy(F.col("bucket")).create()
+        return
     (
         extracted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -121,9 +136,9 @@ def append_checkpoint(
 ) -> None:
     """Append lineage rows (Iceberg table when bound, else parquet dir)."""
     if checkpoint_table is not None:
-        try:
+        if cp_rows.sparkSession.catalog.tableExists(checkpoint_table):
             cp_rows.writeTo(checkpoint_table).append()
-        except Exception:
+        else:
             cp_rows.writeTo(checkpoint_table).create()
         return
     cp_rows.write.mode("append").parquet(checkpoint_path)
@@ -146,9 +161,17 @@ def run_extract_job(
     buckets_skipped, docs_per_sec}.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    done = completed_buckets(spark, checkpoint_path, run_id)
+    done = completed_buckets(spark, checkpoint_path, run_id, checkpoint_table)
     done_set = {r["bucket"] for r in done.collect()}
     n_skipped = len(done_set)
+    if n_skipped >= cfg.n_buckets:
+        # fully resumed: nothing to extract, write, or record — a no-op
+        # re-run costs one checkpoint-table read, nothing else
+        return {
+            "run_id": run_id, "n_docs": 0, "n_failures": 0,
+            "buckets_skipped": n_skipped, "elapsed_sec": 0.0,
+            "docs_per_sec": 0.0,
+        }
 
     # Resume filter: done buckets are at most n_buckets values, collected
     # above — a driver-side isin predicate beats even a broadcast anti-join
@@ -229,6 +252,8 @@ def run_extract_job_grouped(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_groups: int = 4,
     n_partitions: int | None = None,
+    output_table: str | None = None,
+    checkpoint_table: str | None = None,
 ) -> dict:
     """Incremental-commit variant: buckets are processed in ``n_groups``
     sequential sub-jobs, each committing its own output partitions and
@@ -244,7 +269,9 @@ def run_extract_job_grouped(
 
     # skipped = buckets already durable for this run_id (counted once —
     # each sub-job's own counter sees the full run's lineage)
-    n_skipped = completed_buckets(spark, checkpoint_path, run_id).count()
+    n_skipped = completed_buckets(
+        spark, checkpoint_path, run_id, checkpoint_table
+    ).count()
     totals = {"n_docs": 0, "n_failures": 0, "buckets_skipped": n_skipped,
               "elapsed_sec": 0.0}
     for g in range(n_groups):
@@ -256,7 +283,8 @@ def run_extract_job_grouped(
         )
         s = run_extract_job(
             spark, sub, output_path, checkpoint_path, run_id=run_id, cfg=cfg,
-            n_partitions=n_partitions,
+            n_partitions=n_partitions, output_table=output_table,
+            checkpoint_table=checkpoint_table,
         )
         totals["n_docs"] += s["n_docs"]
         totals["n_failures"] += s["n_failures"]

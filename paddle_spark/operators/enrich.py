@@ -69,6 +69,43 @@ def stub_caption_col(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     )
 
 
+def make_batch_captioner(fn, timeout_s: float = 30.0):
+    """Wrap a per-image Python captioner ``fn(w, h) -> str`` as an
+    Arrow-batched stage with the reference's J7 fault semantics
+    (layout_captioning.py:407-421: per-caption 30 s thread join; a failed
+    or timed-out caption is dropped, the block survives):
+
+    - per-item try/except — one raising caption never fails the task;
+    - a per-batch deadline — once ``timeout_s`` is spent, remaining items
+      in the batch get no caption (bounded stage latency; the batch analog
+      of the thread-join timeout, which also cannot preempt a running
+      call).
+
+    Returns a mapInPandas body over (url, page_no, bbox_key, x1,y1,x2,y2).
+    """
+    import time
+
+    import pandas as pd
+
+    def caption_batch(batches):
+        for pdf in batches:
+            t0 = time.monotonic()
+            caps = []
+            for w, h in zip(pdf["x2"] - pdf["x1"], pdf["y2"] - pdf["y1"]):
+                if time.monotonic() - t0 > timeout_s:
+                    caps.append(None)  # deadline: skip, don't fail
+                    continue
+                try:
+                    caps.append(fn(int(w), int(h)))
+                except Exception:  # per-item isolation
+                    caps.append(None)
+            out = pdf[["url", "page_no", "bbox_key"]].copy()
+            out["caption"] = pd.Series(caps, dtype="object")
+            yield out
+
+    return caption_batch
+
+
 def caption_blocks(
     blocks: DataFrame,
     images: DataFrame,
@@ -76,12 +113,20 @@ def caption_blocks(
     min_w: float = 100.0,
     min_h: float = 100.0,
     min_area: float = 10000.0,
+    captioner=None,
+    caption_timeout_s: float = 30.0,
 ) -> DataFrame:
     """Full enrichment: join captions onto image blocks by bbox key and
     append to block text. Pass-through when disabled (F8).
 
     blocks: (url, page_no, block_id, label, x1, y1, x2, y2, text)
     images: (url, page_no, filename)
+    captioner: the injectable model stage (J7). None -> the deterministic
+      geometry stub (pure Column). A Python callable ``fn(w, h) -> str``
+      runs Arrow-batched with per-item failure isolation and a batch
+      deadline (``make_batch_captioner``) — the swap point for a real
+      BLIP/VLM call; blocks whose caption fails or times out pass through
+      with ``captioned=false``.
     Returns blocks with `text` caption-enriched and `captioned` flag.
     """
     if not enabled:
@@ -100,9 +145,9 @@ def caption_blocks(
     )
     # J1: equi-join on the computed key; images-with-keys is small per doc
     # batch — broadcast it
-    captions = (
-        gated.join(F.broadcast(im), ["url", "page_no", "bbox_key"])
-        .select(
+    matched = gated.join(F.broadcast(im), ["url", "page_no", "bbox_key"])
+    if captioner is None:
+        captions = matched.select(
             "url",
             "page_no",
             "bbox_key",
@@ -110,7 +155,13 @@ def caption_blocks(
                 F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
             ).alias("caption"),
         )
-    )
+    else:
+        captions = matched.select(
+            "url", "page_no", "bbox_key", "x1", "y1", "x2", "y2"
+        ).mapInPandas(
+            make_batch_captioner(captioner, caption_timeout_s),
+            schema="url string, page_no int, bbox_key string, caption string",
+        ).filter(F.col("caption").isNotNull())
     # J2/J6: left merge-back; unmatched blocks keep their text
     out = bk.join(captions, ["url", "page_no", "bbox_key"], "left").select(
         "url",

@@ -78,12 +78,22 @@ def decode_real(payload: bytes):  # pragma: no cover — stub by design
 def decode_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in decode: dims/frames/feature derived from the
     payload digest. Keeps the batch shape, schema and partitioning honest
-    so the pipeline around the codec is fully testable."""
+    so the pipeline around the codec is fully testable.
+
+    When the payload is a recognizable image container, width/height/
+    n_frames come from the REAL header (kernels/raster.py — PNG/GIF/JPEG/
+    TIFF/BMP/WEBP); only the pixel-level feature vector stays
+    digest-derived (the declared PIL swap point)."""
+    from paddle_spark.kernels.raster import decode_image_header
+
     d = hashlib.sha256(payload or b"").digest()
+    feature = [round(b / 255.0, 6) for b in d[:8]]
+    meta = decode_image_header(payload)
+    if meta is not None:
+        return int(meta["width"]), int(meta["height"]), int(meta["n_frames"]), feature
     width = 64 + d[0] % 192          # 64..255
     height = 64 + d[1] % 192
     n_frames = 1 + d[2] % 4
-    feature = [round(b / 255.0, 6) for b in d[:8]]
     return width, height, n_frames, feature
 
 

@@ -207,6 +207,105 @@ def make_pdf(rng: random.Random, i: int) -> bytes:
     return b"%PDF-1.4\n%paddle-spark-synthetic\n" + body
 
 
+def make_oracle_pdf(i: int) -> bytes:
+    """A layout payload whose post-chain output is CLOSED-FORM — every
+    geometry stage is exercised and its effect on the final string is
+    predictable, so a SQL oracle can state the exact expected text:
+
+    page 1: header (F6-dropped) + title + lower-score duplicate title
+    (D1 NMS-suppressed, IoU ~0.86) + left/right column paragraphs (W1
+    two-column reading order) + sub-threshold text box (F2-dropped);
+    page 2: two ocr_text fragments on one y-line (W2 line-grouped to
+    "hello world {i}") + an abstract at score 0.46 (just clears the
+    class-15 threshold 0.45).
+
+    Expected: "=== PAGE 1 ===\\n\\nTitle i\\nLeft i\\nRight i\\n\\n\\n===
+    PAGE 2 ===\\n\\nhello world i\\nAbs i\\n", kept=5, dropped=3.
+    """
+    pages = [
+        {"page_no": 0, "width": 1700, "height": 2200, "boxes": [
+            _box(0, "header", 100, 5, 900, 40, 0.95, "HEADER"),
+            _box(1, "title", 100, 50, 900, 120, 0.92, f"Title {i}"),
+            _box(2, "title", 105, 55, 905, 125, 0.60, f"DupTitle {i}"),
+            _box(3, "text", 100, 200, 800, 1200, 0.90, f"Left {i}"),
+            _box(4, "text", 900, 180, 1600, 1180, 0.90, f"Right {i}"),
+            _box(5, "text", 100, 2000, 900, 2100, 0.25, "lowscore"),
+        ]},
+        {"page_no": 1, "width": 1700, "height": 2200, "boxes": [
+            _box(0, "ocr_text", 100, 100, 400, 140, 0.90, "hello"),
+            _box(1, "ocr_text", 420, 102, 700, 138, 0.90, f"world {i}"),
+            _box(2, "abstract", 100, 300, 900, 500, 0.46, f"Abs {i}"),
+        ]},
+    ]
+    body = json.dumps({"pages": pages}, sort_keys=True).encode("utf-8")
+    return b"%PDF-1.4\n%paddle-spark-synthetic\n" + body
+
+
+def make_real_pdf(page_texts: list[list[str]], compress: bool = False) -> bytes:
+    """A minimal but VALID born-digital PDF (PDF 1.4 syntax: catalog ->
+    page tree -> per-page FlateDecode-or-raw content streams, correct xref)
+    carrying one text line per Tj. Exercises the real text-layer ingest
+    path (kernels/pdf.py) end-to-end without any external library."""
+    import zlib as _zlib
+
+    objs: dict[int, bytes] = {}
+    n_pages = len(page_texts)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{p} 0 R" for p in page_nums).encode()
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(n_pages).encode()
+        + b" /MediaBox [0 0 612 792] >>"
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, lines in enumerate(page_texts):
+        pn, cn = page_nums[i], page_nums[i] + 1
+        objs[pn] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents "
+            + f"{cn} 0 R".encode()
+            + b" /Resources << /Font << /F1 3 0 R >> >> >>"
+        )
+        body = ["BT /F1 12 Tf 16 TL 72 720 Td"]
+        for j, line in enumerate(lines):
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            body.append(("T* " if j else "") + f"({esc}) Tj")
+        body.append("ET")
+        cs = " ".join(body).encode("latin-1")
+        if compress:
+            comp = _zlib.compress(cs)
+            objs[cn] = (
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            objs[cn] = (
+                b"<< /Length " + str(len(cs)).encode()
+                + b" >>\nstream\n" + cs + b"\nendstream"
+            )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs)
+    out += f"xref\n0 {maxn + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        out += (
+            f"{offsets[num]:010d} 00000 n \n".encode()
+            if num in offsets
+            else b"0000000000 65535 f \n"
+        )
+    out += (
+        b"trailer\n<< /Size " + str(maxn + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"

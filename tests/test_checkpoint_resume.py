@@ -211,3 +211,39 @@ def test_metrics_read_is_partition_pruned(spark, tiny_pages, paths):
     )[1][:200], plan
     scan = plan.split("ReadSchema", 1)[1][:300]
     assert "text" not in scan, scan
+
+
+def test_table_write_branch(spark, tiny_pages, tmp_path):
+    """The writeTo()-based table sink (the Iceberg binding; here exercised
+    against the session catalog): create-partitioned on first run, append
+    for checkpoint rows, run_extract_job end-to-end with table targets."""
+    from paddle_spark.operators.checkpoint import iceberg_catalog_configured
+
+    assert not iceberg_catalog_configured(spark)  # sandbox: no iceberg jar
+    out_t, cp_t = "ps_out_tbl", "ps_cp_tbl"
+    for t in (out_t, cp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        s = run_extract_job(
+            spark, tiny_pages, str(tmp_path / "unused_out"),
+            str(tmp_path / "unused_cp"), run_id="t1", cfg=CFG, n_partitions=4,
+            output_table=out_t, checkpoint_table=cp_t,
+        )
+        assert s["n_docs"] == tiny_pages.count()
+        assert spark.table(out_t).count() == s["n_docs"]
+        cp = spark.table(cp_t)
+        assert cp.filter(F.col("run_id") == "t1").count() == CFG.n_buckets
+        # partitioning metadata captured at create time
+        desc = spark.sql(f"DESCRIBE TABLE {out_t}").collect()
+        assert any("bucket" in (r["col_name"] or "") for r in desc)
+        # second invocation, same run_id: everything skipped, lineage append-only
+        s2 = run_extract_job(
+            spark, tiny_pages, str(tmp_path / "unused_out"),
+            str(tmp_path / "unused_cp"), run_id="t1", cfg=CFG, n_partitions=4,
+            output_table=out_t, checkpoint_table=cp_t,
+        )
+        assert s2["n_docs"] == 0 and s2["buckets_skipped"] == CFG.n_buckets
+        assert spark.table(out_t).count() == s["n_docs"]
+    finally:
+        for t in (out_t, cp_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

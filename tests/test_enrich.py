@@ -86,3 +86,48 @@ def test_caption_join_is_broadcast(fixtures):
     blocks, images = fixtures
     plan = caption_blocks(blocks, images)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_injectable_captioner_success(fixtures):
+    blocks, images = fixtures
+    out = caption_blocks(
+        blocks, images, captioner=lambda w, h: f"a {w}x{h} figure"
+    )
+    rows = {(r["url"], r["block_id"]): r for r in out.collect()}
+    assert rows[("u1", 2)]["captioned"]
+    assert rows[("u1", 2)]["text"].endswith("a 300x299 figure")
+    assert not rows[("u1", 0)]["captioned"]  # non-image untouched
+
+
+def test_failing_captioner_isolated(fixtures):
+    """J7 fault semantics: a captioner that raises never fails the stage —
+    every block passes through, captioned=false (the batch analog of the
+    reference's dropped caption thread, layout_captioning.py:407-421)."""
+    blocks, images = fixtures
+
+    def boom(w, h):
+        raise RuntimeError("model down")
+
+    out = caption_blocks(blocks, images, captioner=boom)
+    rows = out.collect()
+    assert len(rows) == 4  # 5 blocks minus one last-wins key collapse (J5)
+    assert all(not r["captioned"] for r in rows)
+    texts = {(r["url"], r["block_id"]): r["text"] for r in rows}
+    assert texts[("u1", 2)] == "fig dup"  # original text intact
+
+
+def test_slow_captioner_deadline(fixtures):
+    """Batch deadline: once the budget is spent, remaining items are
+    skipped (bounded stage latency), never an error."""
+    import time
+
+    blocks, images = fixtures
+
+    def slow(w, h):
+        time.sleep(0.2)
+        return "late caption"
+
+    out = caption_blocks(blocks, images, captioner=slow, caption_timeout_s=0.0)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(not r["captioned"] for r in rows)
