@@ -20,7 +20,7 @@ from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
 from paddle_spark.functions import url_bucket_col
 from paddle_spark.kernels.classify import KIND_HTML, KIND_PDF, classify_payload
 from paddle_spark.kernels.html import segment_blocks
-from paddle_spark.kernels.layout import parse_synthetic_pdf, process_page
+from paddle_spark.kernels.layout import pdf_pages, process_page
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -53,7 +53,7 @@ def document_blocks(url: str, payload: bytes, cfg: ExtractConfig) -> list[tuple]
                      None, None, None, b.text, b.kept, b.drop_reason or None)
                 )
         elif kind == KIND_PDF:
-            pages = parse_synthetic_pdf(payload)[: cfg.hard_page_cap]
+            pages = pdf_pages(payload)[: cfg.hard_page_cap]
             for page_no, page in enumerate(pages):
                 blocks, _ = process_page(page, cfg)
                 for i, blk in enumerate(blocks):

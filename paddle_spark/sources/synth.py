@@ -321,8 +321,17 @@ def gen_page_row(i: int, seed: int = 42) -> tuple:
         payload = make_html(rng, i)
     elif kind_roll < 0.90:
         payload = make_html_latin1(rng, i)
-    elif kind_roll < 0.98:
+    elif kind_roll < 0.95:
         payload = make_pdf(rng, i)
+    elif kind_roll < 0.98:
+        # REAL born-digital PDF (kernels/pdf.py text-layer ingest path):
+        # 1-3 pages, Flate-compressed half the time
+        n_pg = 1 + rng.randint(0, 2)
+        pages = [
+            [_sentence(rng, rng.randint(4, 9)) for _ in range(rng.randint(2, 6))]
+            for _ in range(n_pg)
+        ]
+        payload = make_real_pdf(pages, compress=rng.random() < 0.5)
     else:
         payload = make_garbage(rng)
     lang = ["en", "en", "en", "de", "hi", "es"][rng.randint(0, 5)]
