@@ -209,6 +209,44 @@ def q_extract_layout_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_layout_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A2 markdown assembly variant (testScript.py:156-161: '# Page n'
+    headers, '---' separators, titles as '## ...' headings) over the same
+    closed-form fixture — exact oracle."""
+    import pandas as pd
+
+    from paddle_spark.kernels.extract import sha256_text
+    from paddle_spark.kernels.layout import extract_layout
+    from paddle_spark.sources.synth import make_oracle_pdf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_md(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            texts = [
+                extract_layout(make_oracle_pdf(i), markdown=True)[0] for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "md": texts})
+
+    return docs.mapInPandas(to_md, schema="doc_id long, md string")
+
+
+_EXTRACT_LAYOUT_MD_ORACLE = """
+SELECT doc_id,
+  '# Page 1' || chr(10) || chr(10) ||
+  '## Title ' || doc_id || chr(10) || chr(10) ||
+  'Left ' || doc_id || chr(10) ||
+  'Right ' || doc_id || chr(10) || chr(10) || chr(10) ||
+  '---' || chr(10) || '# Page 2' || chr(10) || chr(10) ||
+  'hello world ' || doc_id || chr(10) ||
+  'Abs ' || doc_id || chr(10) AS md
+FROM documents WHERE doc_id < 100
+"""
+
+
 _EXTRACT_LAYOUT_ORACLE = """
 SELECT 'pdf-oracle://' || doc_id AS url,
   '=== PAGE 1 ===' || chr(10) || chr(10) ||
@@ -1356,6 +1394,32 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enrichment: caption join + merge-back (J1/J2/J5/J6/X2/F5/F7)
 # ---------------------------------------------------------------------------
 
+def q_mm_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode plumbing with an EXACT oracle: the digest-derived dims of
+    decode_fake are reproducible in SQL (sha256 hex arithmetic), so the
+    Arrow-batched mapInPandas stage gets a hash-green row (feature vector
+    checked rows-only in mm_decode_stub; dims/frames checked here)."""
+    from paddle_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_media(media).select(
+        "media_id", "width", "height", "n_frames", "decode_ok"
+    )
+
+
+_MM_DECODE_DIMS_ORACLE = """
+SELECT doc_id AS media_id,
+  64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS width,
+  64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS height,
+  1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 4 AS n_frames,
+  TRUE AS decode_ok
+FROM documents
+"""
+
+
 def q_caption_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full caption-enrichment chain over part-derived blocks/images:
     filename-key parse -> last-wins key dedup -> size gate -> broadcast
@@ -1450,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_layout": q_extract_layout,
         "extract_layout_oracle": q_extract_layout_oracle,
+        "extract_layout_markdown": q_extract_layout_markdown,
         "extract_blocks": q_extract_blocks,
         "classify_payloads": q_classify_payloads,
         # filters
@@ -1505,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "mm_binary_meta": q_mm_binary_meta,
         "mm_decode_stub": q_mm_decode_stub,
+        "mm_decode_dims": q_mm_decode_dims,
     }
 
 
@@ -1512,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_html": _EXTRACT_HTML_ORACLE,
         "extract_layout_oracle": _EXTRACT_LAYOUT_ORACLE,
+        "extract_layout_markdown": _EXTRACT_LAYOUT_MD_ORACLE,
         "extract_blocks": _EXTRACT_BLOCKS_ORACLE,
         "classify_payloads": _CLASSIFY_ORACLE,
         "score_filter": _SCORE_FILTER_ORACLE,
@@ -1554,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
+        "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,
         # rows-only (non-SQL-expressible): extract_layout, dedup_minhash_lsh,
         # dedup_simhash, ann_lsh, mm_decode_stub
     }

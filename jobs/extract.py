@@ -35,8 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gen", type=int, default=0,
                     help="instead of --input, synthesize N deterministic pages")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--output", required=True, help="extracted table path")
-    ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
+    ap.add_argument("--output", default=None, help="extracted parquet dir path")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint parquet dir path")
+    ap.add_argument("--output-table", default=None,
+                    help="catalog table target instead of --output (Iceberg: "
+                         "writeTo().overwritePartitions() per bucket)")
+    ap.add_argument("--checkpoint-table", default=None,
+                    help="catalog table for lineage instead of --checkpoint")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--n-partitions", type=int, default=None,
                     help="map-stage width (default: n_buckets)")
@@ -50,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if not args.gen and not args.input:
         ap.error("one of --input / --gen is required")
+    if not args.output and not args.output_table:
+        ap.error("one of --output / --output-table is required")
+    if not args.checkpoint and not args.checkpoint_table:
+        ap.error("one of --checkpoint / --checkpoint-table is required")
 
     from pyspark.sql import SparkSession
 
@@ -88,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages, output_path=args.output,
             checkpoint_path=args.checkpoint, run_id=args.run_id, cfg=cfg,
             n_groups=args.bucket_groups, n_partitions=args.n_partitions,
+            output_table=args.output_table,
+            checkpoint_table=args.checkpoint_table,
         )
     else:
         summary = run_extract_job(
@@ -98,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             cfg=cfg,
             n_partitions=args.n_partitions,
+            output_table=args.output_table,
+            checkpoint_table=args.checkpoint_table,
         )
     print(json.dumps(summary))
     spark.stop()

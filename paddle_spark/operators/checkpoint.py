@@ -60,8 +60,8 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
-def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
-    if os.path.isdir(path) and any(
+def read_checkpoint(spark: SparkSession, path: str | None) -> DataFrame:
+    if path and os.path.isdir(path) and any(
         f.endswith(".parquet") for root, _, fs in os.walk(path) for f in fs
     ):
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)

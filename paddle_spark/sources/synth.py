@@ -49,7 +49,7 @@ MEGA_HOST_SHARE = 0.4  # host0 share of rows
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 # Bump when generation rules change so cached corpora regenerate.
-GEN_VERSION = 2
+GEN_VERSION = 3  # v3: ~3% real born-digital PDFs (text-layer ingest path)
 
 # latin-1 body vocabulary for the charset-declared pages (non-ascii on
 # purpose — exercises the charset sniffing path end-to-end)
