@@ -991,6 +991,27 @@ FROM part
 """
 
 
+def q_b64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: base64 encode/decode parity (the reference shuttles file and
+    image payloads as b64, layout_captioning.py:20-45, testScript.py:20-22;
+    our engine keeps binary columns, so b64 appears only at boundaries)."""
+    p = _t(spark, sf_dir, "part")
+    enc = F.base64(F.encode(F.col("p_name"), "utf-8"))
+    return p.select(
+        "p_partkey",
+        enc.alias("b64"),
+        F.decode(F.unbase64(enc), "utf-8").alias("roundtrip"),
+    )
+
+
+_B64_ORACLE = """
+SELECT p_partkey,
+       to_base64(encode(p_name)) AS b64,
+       decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+FROM part
+"""
+
+
 def q_data_uri_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: data-URI payload extraction (split on first comma)."""
     p = _t(spark, sf_dir, "part")
@@ -1550,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_normalize": q_key_normalize,
         "html_strip": q_html_strip,
         "data_uri_strip": q_data_uri_strip,
+        "b64_roundtrip": q_b64_roundtrip,
         "time_buckets": q_time_buckets,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -1609,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "key_normalize": _KEY_NORMALIZE_ORACLE,
         "html_strip": _HTML_STRIP_ORACLE,
         "data_uri_strip": _DATA_URI_ORACLE,
+        "b64_roundtrip": _B64_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -1,0 +1,95 @@
+"""Export sinks (S7/S10), debug gating (F9), URL-fetch seam (S1 URL
+branch), worker hygiene (T6)."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.operators.export import export_text, select_export
+from paddle_spark.sources.fetch import fetch_pages
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tiny_pages):
+    from paddle_spark.operators.extract_job import extract_pages
+
+    return extract_pages(tiny_pages, n_partitions=4).cache()
+
+
+def test_debug_gating_prunes_columns(extracted):
+    slim = select_export(extracted, debug=False)
+    assert slim.columns == ["url", "text"]
+    full = select_export(extracted, debug=True)
+    assert "parse_ok" in full.columns and "branch" in full.columns
+
+
+def test_csv_roundtrip_multiline(spark, extracted, tmp_path):
+    """S10: multiline extracted text must survive CSV quoting."""
+    p = str(tmp_path / "exp_csv")
+    export_text(extracted, p, fmt="csv")
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(p)
+    )
+    assert back.count() == extracted.count()
+    orig = {r["url"]: r["text"] for r in extracted.select("url", "text").collect()}
+    got = {r["url"]: r["text"] for r in back.collect()}
+    multiline = [u for u, t in orig.items() if t and "\n" in t]
+    assert multiline, "fixture should contain multiline text"
+    for u in multiline[:20]:
+        assert got[u] == orig[u], u
+    assert glob.glob(p + "/*.csv")
+
+
+def test_fetch_injectable_and_isolated(spark):
+    urls = spark.createDataFrame(
+        [("u://ok/1",), ("u://boom/2",), ("u://ok/3",)], "url string"
+    )
+
+    def fetcher(u: str) -> bytes:
+        if "boom" in u:
+            raise IOError("connection refused")
+        return b"<html><body><p>fetched " + u.encode() + b"</p></body></html>"
+
+    out = {r["url"]: r for r in fetch_pages(urls, fetcher=fetcher).collect()}
+    assert out["u://ok/1"]["fetch_ok"] and out["u://ok/1"]["html"].startswith(b"<html>")
+    assert not out["u://boom/2"]["fetch_ok"]
+    assert "IOError" in out["u://boom/2"]["fetch_error"] or "OSError" in out["u://boom/2"]["fetch_error"]
+
+
+def test_fetch_default_raises_per_row(spark):
+    """No silent stub: without an injected fetcher every row fails soft
+    with NotImplementedError recorded, tasks never die."""
+    urls = spark.createDataFrame([("u://x",)], "url string")
+    rows = fetch_pages(urls).collect()
+    assert len(rows) == 1 and not rows[0]["fetch_ok"]
+    assert "NotImplementedError" in rows[0]["fetch_error"]
+
+
+def test_worker_hygiene_bounded_memory():
+    """T6: repeated kernel invocations hold no growing module state —
+    the per-doc parse->extract->drop discipline (reference analog:
+    per-page del+gc, model.py:553-559). Bound: < 4 MB growth across
+    2000 extra docs after warm-up."""
+    import tracemalloc
+
+    from paddle_spark.kernels.extract import extract_document
+    from paddle_spark.sources.synth import gen_page_row
+
+    payloads = [gen_page_row(i, 7)[2] for i in range(500)]
+    for p in payloads:  # warm-up: interned strings, regex caches, etc.
+        extract_document(p)
+    tracemalloc.start()
+    base = tracemalloc.take_snapshot()
+    for _ in range(4):
+        for p in payloads:
+            extract_document(p)
+    snap = tracemalloc.take_snapshot()
+    tracemalloc.stop()
+    growth = sum(s.size_diff for s in snap.compare_to(base, "filename"))
+    assert growth < 4 * 1024 * 1024, f"kernel state grew {growth} bytes"
