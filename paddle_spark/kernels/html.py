@@ -187,10 +187,8 @@ _DROP_ISLAND_TAGS = (
     "head|nav|aside|footer|header|form|svg|iframe|noscript|template|button"
     "|select|datalist|canvas|object|embed"
 )
-_ISLAND_RE = re.compile(
-    rf"<!--.*?-->"
-    rf"|<(script|style)\b[^>]*>.*?</\1\s*>"
-    rf"|<({_DROP_ISLAND_TAGS})\b[^>]*>.*?</\2\s*>",
+_DROP_ISLAND_RE = re.compile(
+    rf"<({_DROP_ISLAND_TAGS})\b[^>]*>.*?</\1\s*>",
     re.DOTALL | re.IGNORECASE,
 )
 _SILENT_ISLAND_RE = re.compile(
@@ -199,11 +197,11 @@ _SILENT_ISLAND_RE = re.compile(
 
 
 def _island_text_chars(island: str) -> int:
-    """Non-whitespace text-run chars inside an island, excluding
-    script/style/comment contents (parity with the token-loop counting)."""
-    s = _SILENT_ISLAND_RE.sub(" ", island)
+    """Non-whitespace text-run chars inside an island. Comments and
+    script/style content were already removed by the global silent pass
+    (parity with the token-loop counting, which skips those tokens)."""
     n = 0
-    for part in s.split("<"):
+    for part in island.split("<"):
         t = part.partition(">")[2]
         if t and not t.isspace():
             n += len(t)
@@ -218,19 +216,24 @@ def segment_blocks(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[
     """
     doc = decode_html(payload)
 
+    # pass 1 (C-level, no callback): comments + script/style vanish with
+    # NO separator — exactly how the reference loop skips those tokens
+    # leaving neighbors adjacent. Removing them globally FIRST also means
+    # a comment/script that straddles a drop-island boundary (e.g. a
+    # '</nav>' inside a script string) can no longer truncate the island —
+    # tightening fast-vs-reference equivalence on adversarial nesting.
+    doc = _SILENT_ISLAND_RE.sub("", doc)
+
     islands: list[tuple[str, int]] = []
 
     def _replace(m: re.Match) -> str:
-        if m[2] is None:
-            # comment or script/style: silent skip, NO separator — the
-            # reference loop skips these tokens leaving neighbors adjacent
-            return ""
         # drop islands always produce a marker: entering a boilerplate
         # subtree must end the open block even when the subtree is empty
-        islands.append((m[2].lower(), _island_text_chars(m[0])))
+        islands.append((m[1].lower(), _island_text_chars(m[0])))
         return f"<{_MARK}{len(islands) - 1}/>"
 
-    doc = _ISLAND_RE.sub(_replace, doc)
+    # pass 2: boilerplate subtrees -> numbered markers
+    doc = _DROP_ISLAND_RE.sub(_replace, doc)
     blocks: list[Block] = []
     drop_depth = 0          # nesting depth inside DROP_TAGS subtrees
     link_depth = 0          # nesting depth inside <a>
