@@ -1124,6 +1124,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(simhash(d), max_hamming=3)
 
 
+def _planted_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 docs with namespace-disjoint token sets (every token embeds its
+    doc_id, so distinct docs share ZERO shingles) + one exact copy each at
+    doc_id + 1000000. Identical docs have identical minhash signatures and
+    simhash fingerprints STRUCTURALLY; disjoint docs can only collide via
+    64-bit hash collisions (~0, and deterministic either way) — so the
+    candidate output is exactly the planted pairs, i.e. SQL-expressible."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+    )
+    base = d.select("doc_id", text.alias("text"))
+    return base.unionByName(
+        base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+_PLANTED_PAIRS_ORACLE = """
+SELECT doc_id AS a, doc_id + 1000000 AS b
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an EXACT oracle: identical docs collide in every
+    band by construction, disjoint docs in none — the full banding
+    pipeline (shingle -> 32-perm signature -> 8-band bucket join) must
+    return exactly the 50 planted pairs."""
+    from paddle_spark.operators.dedup import minhash_dedup_candidates
+
+    return minhash_dedup_candidates(
+        _planted_dup_docs(spark, sf_dir), num_perm=32, bands=8
+    )
+
+
+def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + banded Hamming join with an EXACT oracle: identical docs
+    are Hamming-0, disjoint-token docs sit ~32 bits apart."""
+    from paddle_spark.operators.dedup import simhash, simhash_candidates
+
+    return simhash_candidates(
+        simhash(_planted_dup_docs(spark, sf_dir)), max_hamming=3
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_SIMHASH_PLANTED_ORACLE = """
+SELECT doc_id AS a, doc_id + 1000000 AS b, CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id < 50
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddle_spark.operators.dedup import embedding_near_dups
 
@@ -1391,6 +1448,29 @@ FROM (
 """
 
 
+def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with an EXACT oracle: each query's planted identical twin
+    shares every hyperplane sign bit (same bucket structurally) and wins
+    rank 1 at cosine 1.0 — nothing else in the fixture exceeds ~0.6."""
+    from paddle_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(twins)
+    queries = e.filter(F.col("vec_id") < 10)
+    out = lsh_topk(corpus, queries, k=1, n_planes=8, dim=64)
+    return out.filter(F.col("rank") == 1).select(
+        "qid", "cid", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ANN_LSH_PLANTED_ORACLE = """
+SELECT vec_id AS qid, vec_id + 1000000 AS cid,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS BIGINT) AS rank
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media 'decode' (rows-only: stub dims derive from
     sha256 bytes — plumbing is the tested part).
@@ -1577,12 +1657,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "dedup_simhash_planted": q_dedup_simhash_planted,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_planted": q_ann_lsh_planted,
         "ann_ivf_assign": q_ann_ivf_assign,
         # text analysis
         "text_tokens": q_text_tokens,
@@ -1637,14 +1720,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": _EMB_NEAR_DUP_ORACLE,
         "dedup_embedding_bucketed": _EMB_BUCKETED_ORACLE,
+        "dedup_minhash_planted": _PLANTED_PAIRS_ORACLE,
+        "dedup_simhash_planted": _SIMHASH_PLANTED_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_assign": _IVF_ORACLE,
+        "ann_lsh_planted": _ANN_LSH_PLANTED_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_langid": _langid_oracle(),
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
         "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,
-        # rows-only (non-SQL-expressible): extract_layout, dedup_minhash_lsh,
-        # dedup_simhash, ann_lsh, mm_decode_stub
+        # rows-only (hash-dependent / array outputs, not SQL-expressible on
+        # arbitrary input): extract_layout, dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh, mm_decode_stub. EVERY one has a hash-green exact twin on
+        # a constructed input where the algorithm's output is closed-form:
+        # extract_layout_oracle/_markdown, dedup_minhash_planted,
+        # dedup_simhash_planted, ann_lsh_planted, mm_decode_dims.
     }
