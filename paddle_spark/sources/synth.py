@@ -371,13 +371,15 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> None:
     writer.close()
 
 
-def gen_pages_spark(spark, n_rows: int, seed: int = 42, n_partitions: int = 8):
+def gen_pages_spark(
+    spark, n_rows: int, seed: int = 42, n_partitions: int = 8, start: int = 0
+):
     """Generate the corpus distributed: each partition synthesizes its own
     index range via ``mapInPandas`` (no driver-side materialization) —
     scale-ready generation for the bench corpus."""
     from pyspark.sql import functions as F, types as T
 
-    bounds = spark.range(0, n_rows, 1, n_partitions).select(
+    bounds = spark.range(start, start + n_rows, 1, n_partitions).select(
         F.col("id").cast("long").alias("i")
     )
     schema = T.StructType(
