@@ -69,17 +69,19 @@ def parse_synthetic_pdf(payload: bytes) -> list[dict]:
     return doc["pages"]
 
 
-def pdf_pages(payload: bytes) -> list[dict]:
+def pdf_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
     """Page list for any ``%PDF`` payload: the synthetic detector-box
     sentinel when present (the injectable neural-detector stand-in), else
     the real born-digital text layer (kernels/pdf.py — S3 without a raster
     stack; the PyMuPDF render+detect stage stays the documented swap point
-    for scanned PDFs, model.py:300-337)."""
+    for scanned PDFs, model.py:300-337). ``max_pages`` caps before the
+    expensive content-stream replay (W4, model.py:311-316)."""
     if is_synthetic_pdf(payload):
-        return parse_synthetic_pdf(payload)
+        pages = parse_synthetic_pdf(payload)
+        return pages if max_pages is None else pages[:max_pages]
     from paddle_spark.kernels.pdf import pdf_to_pages
 
-    return pdf_to_pages(payload)
+    return pdf_to_pages(payload, max_pages=max_pages)
 
 
 def process_page(
@@ -198,11 +200,10 @@ def extract_layout(
     ``"# Page n"`` separated by ``"---"``, title blocks rendered as
     ``"## <text>"`` headings.
     """
-    pages = pdf_pages(payload)
     cap = cfg.hard_page_cap
     if cfg.max_pages_per_doc is not None:
         cap = min(cap, cfg.max_pages_per_doc)  # W4 page limit (model.py:311-316)
-    pages = pages[:cap]
+    pages = pdf_pages(payload, max_pages=cap)
 
     parts: list[str] = []
     n_kept = 0

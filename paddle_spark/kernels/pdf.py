@@ -320,14 +320,19 @@ def _runs_to_boxes(
     return boxes
 
 
-def pdf_to_pages(payload: bytes) -> list[dict]:
+def pdf_to_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
     """Parse a real ``%PDF`` payload into the synthetic-detector page shape
     ``[{page_no, width, height, boxes}]``. Raises ValueError when the file
-    has no parseable page tree (caller maps to parse_ok=false, T5)."""
+    has no parseable page tree (caller maps to parse_ok=false, T5).
+
+    ``max_pages`` caps BEFORE content-stream replay (the expensive part),
+    mirroring the reference's cap-before-render (model.py:311-316, W4)."""
     objs = _objects(payload)
     page_nums = [num for num, body in sorted(objs.items()) if _PAGE_RE.search(body)]
     if not page_nums:
         raise ValueError("no /Type /Page objects found")
+    if max_pages is not None:
+        page_nums = page_nums[:max_pages]
     pages = []
     for idx, num in enumerate(page_nums):
         body = objs[num]
