@@ -306,6 +306,32 @@ def make_real_pdf(page_texts: list[list[str]], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_warc(records: list[tuple[str, str, bytes]], gz: bool = False) -> bytes:
+    """A valid WARC/1.0 file (ISO 28500 framing) of response records:
+    ``records`` = [(url, iso_ts 'YYYY-mm-ddTHH:MM:SSZ', page_bytes)].
+    ``gz=True`` emits one gzip member per record — the Common Crawl
+    layout. Exercises sources/warc.py end-to-end without external data."""
+    import gzip as _gzip
+
+    out = []
+    for url, ts, body in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + ts.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n" + http + b"\r\n\r\n"
+        )
+        out.append(_gzip.compress(rec) if gz else rec)
+    return b"".join(out)
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"

@@ -1,0 +1,78 @@
+"""WARC ingestion (sources/warc.py): Common Crawl's container format ->
+pages rows -> the standard extraction pipeline, pure stdlib."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddle_spark.sources.synth import gen_page_row, make_warc
+from paddle_spark.sources.warc import (
+    iter_warc_records,
+    read_warc_pages,
+    warc_paths_to_pages,
+    warc_records_to_rows,
+)
+
+
+def _records(n=20, seed=42):
+    recs = []
+    for i in range(n):
+        url, ts, payload, _, _ = gen_page_row(i, seed)
+        recs.append((url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), payload))
+    return recs
+
+
+def test_roundtrip_plain_and_gz():
+    recs = _records(20)
+    for gz in (False, True):
+        rows = warc_records_to_rows(make_warc(recs, gz=gz))
+        assert len(rows) == 20
+        for (url, ts, payload), (gurl, gts, ghtml, _, _) in zip(recs, rows):
+            assert gurl == url
+            assert gts == dt.datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+            assert ghtml == payload, url  # HTTP envelope stripped exactly
+
+
+def test_non_response_records_skipped():
+    data = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+        + make_warc(_records(3))
+    )
+    assert len(warc_records_to_rows(data)) == 3
+
+
+def test_truncated_file_degrades():
+    data = make_warc(_records(5))
+    rows_full = warc_records_to_rows(data)
+    rows_cut = warc_records_to_rows(data[: len(data) - len(data) // 3])
+    assert 0 < len(rows_cut) < len(rows_full)
+    # garbage never raises
+    assert warc_records_to_rows(b"\x1f\x8bnot actually gzip") == []
+    assert warc_records_to_rows(b"random bytes") == []
+    assert list(iter_warc_records(b"")) == []
+
+
+def test_spark_warc_to_extraction(spark, tmp_path):
+    """End-to-end: .warc.gz files -> pages frame -> extract_pages; digests
+    byte-identical to extracting the same payloads directly."""
+    from paddle_spark.kernels.extract import extract_document
+    from paddle_spark.operators.extract_job import extract_pages
+
+    recs = _records(40)
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc"
+    p1.write_bytes(make_warc(recs[:25], gz=True))
+    p2.write_bytes(make_warc(recs[25:]))
+
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc*"))
+    assert pages.count() == 40
+    out = {r["url"]: r["text_sha256"]
+           for r in extract_pages(pages, n_partitions=2).collect()}
+    for url, _, payload in recs:
+        assert out[url] == extract_document(payload).text_sha256, url
+
+    # path-per-row variant parses the same rows
+    via_paths = warc_paths_to_pages(spark, [str(p1), str(p2)])
+    assert via_paths.count() == 40
+    assert via_paths.filter(F.col("html").isNull()).count() == 0
