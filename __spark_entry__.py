@@ -1417,6 +1417,45 @@ FROM documents
 # multimodal
 # ---------------------------------------------------------------------------
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line/dup-word/top-bigram
+    fractions) — pure Column ops incl. an aggregate-over-sorted-array
+    bigram mode; exact SQL twin uses unnest+groupBy for the same mode."""
+    from paddle_spark.operators.textstats import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, id_col="doc_id", text_col="text")
+
+
+_TEXT_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+              ELSE [] END AS bigrams,
+         lines, words
+  FROM base
+),
+tops AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bg FROM bi) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CASE WHEN len(lines) > 0 THEN round((len(lines) - len(list_distinct(lines))) / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(words) > 0 THEN round((len(words) - len(list_distinct(words))) / len(words), 6) ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(bigrams) > 0 THEN round(coalesce(t.top_c, 0) / len(bigrams), 6) ELSE 0.0 END AS top_bigram_frac
+FROM bi b LEFT JOIN tops t USING (doc_id)
+"""
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddle_spark.operators.multimodal import binary_meta
 
@@ -1672,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         # multimodal
         "mm_binary_meta": q_mm_binary_meta,
         "mm_decode_stub": q_mm_decode_stub,
@@ -1729,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_langid": _langid_oracle(),
         "text_fingerprint": _FINGERPRINT_ORACLE,
+        "text_repetition": _TEXT_REPETITION_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
         "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,
         # rows-only (hash-dependent / array outputs, not SQL-expressible on

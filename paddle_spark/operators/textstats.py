@@ -115,3 +115,58 @@ def fingerprint(
         F.sha2(norm, 256).alias("fp_sha256"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), JVM-side:
+
+    - ``dup_line_frac``: 1 - distinct_lines / lines (boilerplate pages and
+      templated spam repeat whole lines),
+    - ``dup_word_frac``: 1 - distinct_words / words,
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (keyword-stuffing signature).
+
+    All pure Column ops: split/transform/aggregate over arrays — the
+    bigram mode is computed with aggregate over a sorted bigram array (no
+    UDF, no explode-shuffle; per-row work bounded by doc length).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    words = words_col(t)
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_bi = F.array_sort(bigrams)
+    # longest run of equal adjacent values in the sorted array = mode count
+    top_bigram_count = F.aggregate(
+        sorted_bi,
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_lines = F.size(lines)
+    n_bigrams = F.size(bigrams)
+    frac = lambda num, den: F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        frac(n_lines - F.size(F.array_distinct(lines)), n_lines).alias("dup_line_frac"),
+        frac(n_words - F.size(F.array_distinct(words)), n_words).alias("dup_word_frac"),
+        frac(top_bigram_count, n_bigrams).alias("top_bigram_frac"),
+    )

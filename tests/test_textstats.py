@@ -81,3 +81,25 @@ def test_all_jvm_side(documents):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_features(spark):
+    from paddle_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nunique line"),
+            (2, "all words here are entirely distinct tokens"),
+            (3, "spam spam spam spam spam"),
+            (4, ""),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.8          # 5 words, 1 distinct
+    assert got[3]["top_bigram_frac"] == 1.0        # all bigrams identical
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0        # no bigrams
