@@ -34,6 +34,8 @@ def curate(
     num_perm: int = 32,
     bands: int = 8,
     n_partitions: int | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (curated DataFrame, funnel counts).
 
@@ -67,6 +69,19 @@ def curate(
         (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
     counts["after_quality"] = gated.count()
+
+    # optional Gopher-repetition gate (Rae et al. A1.1) — off by default
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        from paddle_spark.operators.textstats import repetition_features
+
+        rep = repetition_features(gated, id_col="url", text_col="text")
+        gated = gated.join(rep, "url")
+        if max_dup_line_frac is not None:
+            gated = gated.filter(F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            gated = gated.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
+        gated = gated.drop("dup_line_frac", "dup_word_frac", "top_bigram_frac")
+        counts["after_repetition"] = gated.count()
 
     exact = drop_exact_dups(gated, id_col="url", key=F.col("text"))
     counts["after_exact_dedup"] = exact.count()

@@ -63,3 +63,18 @@ def test_curation_no_text_dups(spark, pages_with_dups):
     curated, _ = curate(pages_with_dups, langs=("en",), min_quality=0.2)
     n = curated.count()
     assert curated.select("text_sha256").distinct().count() == n
+
+
+def test_repetition_gate(spark, tiny_pages):
+    """The optional Gopher-repetition gate removes docs without changing
+    any other stage (off by default = identical funnel)."""
+    from paddle_spark.operators.curate import curate
+
+    base, c0 = curate(tiny_pages, n_partitions=4)
+    gated, c1 = curate(
+        tiny_pages, n_partitions=4, max_dup_line_frac=0.05,
+        max_top_bigram_frac=0.5,
+    )
+    assert "after_repetition" in c1 and "after_repetition" not in c0
+    assert c1["after_repetition"] <= c1["after_quality"]
+    assert gated.count() <= base.count()
