@@ -76,3 +76,19 @@ def test_spark_warc_to_extraction(spark, tmp_path):
     via_paths = warc_paths_to_pages(spark, [str(p1), str(p2)])
     assert via_paths.count() == 40
     assert via_paths.filter(F.col("html").isNull()).count() == 0
+
+
+def test_warc_parser_fuzz_never_raises():
+    """Byte-level mutations of valid archives (plain and gz) must never
+    raise — framing loss degrades to fewer rows, not errors."""
+    import random
+
+    rng = random.Random(99)
+    for gz in (False, True):
+        base = make_warc(_records(6), gz=gz)
+        for _ in range(150):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            rows = warc_records_to_rows(bytes(b))
+            assert isinstance(rows, list) and len(rows) <= 6
