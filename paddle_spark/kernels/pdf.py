@@ -196,14 +196,20 @@ def _runs_from_content(cs: bytes) -> list[tuple[str, float, float, float]]:
         tok = m[0]
         i = m.end()
         if tok.startswith(b"("):
-            # handle nested parens the simple regex can't: extend match
-            depth = tok.count(b"(") - tok.count(b")")
+            # handle nested parens the simple regex can't: extend match.
+            # depth counts must ignore ESCAPED parens (\( \)) — strip
+            # escape pairs before counting, else '(a\()' reads as open.
+            def _depth(t: bytes) -> int:
+                bare = re.sub(rb"\\.", b"", t)
+                return bare.count(b"(") - bare.count(b")")
+
+            depth = _depth(tok)
             while depth > 0 and i < n:
                 ext = _CS_TOKEN_RE.search(data, i)
                 if not ext or not ext[0].startswith(b"("):
                     break
                 tok += data[i : ext.end()]
-                depth = tok.count(b"(") - tok.count(b")")
+                depth = _depth(tok)
                 i = ext.end()
             stack.append(("str", _decode_pdf_string(tok[1:-1])))
         elif tok.startswith(b"<"):
