@@ -173,11 +173,11 @@ def main() -> None:
     # its reference gets one more best-of pass and keeps the minimum.
     # References = quiet-window session, steal <= 2% (BENCH/BASELINE.md).
     quiet_ref = {
-        "extract_corpus": 5.3, "pricing_summary": 1.15,
-        "computed_key_join": 0.98, "ordered_concat": 0.72,
-        "topk_per_group": 0.87, "sessionize": 0.89, "time_buckets": 0.71,
-        "dedup_minhash_lsh": 1.86, "ann_topk": 0.51, "text_quality": 0.30,
-        "text_fingerprint": 0.33,
+        "extract_corpus": 3.33, "pricing_summary": 0.68,
+        "computed_key_join": 0.47, "ordered_concat": 0.43,
+        "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.49,
+        "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_quality": 0.39,
+        "text_fingerprint": 0.35,
     }
     suspect = [
         n for n, ref in quiet_ref.items()
