@@ -488,6 +488,15 @@ WHERE NOT (
 """
 
 
+def q_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 at scale: grid-cell candidate equi-join + exact overlap filter —
+    output identical to the theta join (same oracle), plan is a hash join
+    on (cx, cy) instead of a BroadcastNestedLoopJoin."""
+    from paddle_spark.operators.spatial import bucketed_overlap_join
+
+    return bucketed_overlap_join(_part_boxes(spark, sf_dir), cell=300.0)
+
+
 def q_above_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: 'text directly above image' directional theta-join
     (bbox_text_matcher.py:70-83 semantics)."""
@@ -1666,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "computed_key_join": q_computed_key_join,
         "left_join_coalesce": q_left_join_coalesce,
         "overlap_join": q_overlap_join,
+        "overlap_join_bucketed": q_overlap_join_bucketed,
         "above_join": q_above_join,
         "dedup_lastwins": q_dedup_lastwins,
         "caption_enrich": q_caption_enrich,
@@ -1733,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "computed_key_join": _COMPUTED_KEY_JOIN_ORACLE,
         "left_join_coalesce": _LEFT_JOIN_ORACLE,
         "overlap_join": _OVERLAP_JOIN_ORACLE,
+        "overlap_join_bucketed": _OVERLAP_JOIN_ORACLE,
         "above_join": _ABOVE_JOIN_ORACLE,
         "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
         "caption_enrich": _CAPTION_ENRICH_ORACLE,

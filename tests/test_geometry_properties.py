@@ -94,3 +94,35 @@ def test_group_lines_input_order_invariant(raw):
     # same partition of boxes into lines (ids may relabel but can't here:
     # ids are y-ordered, so they must match exactly)
     assert (lines_a == lines_b).all()
+
+
+def test_bucketed_overlap_join_equals_theta(spark):
+    """Grid-bucketed spatial join returns EXACTLY the theta-join pairs
+    (candidates superset + exact filter), across cell sizes, and its plan
+    carries no cartesian product."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import boxes_overlap_cond
+    from paddle_spark.operators.spatial import bucketed_overlap_join
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        x1 = rng.uniform(0, 1600); y1 = rng.uniform(0, 2100)
+        rows.append((i, x1, y1, x1 + rng.uniform(5, 700), y1 + rng.uniform(5, 300)))
+    boxes = spark.createDataFrame(rows, "box_id long, x1 double, y1 double, x2 double, y2 double")
+    a, b = boxes.alias("a"), boxes.alias("b")
+    exact = {
+        (r["a"], r["b"])
+        for r in a.join(
+            b, (F.col("a.box_id") < F.col("b.box_id")) & boxes_overlap_cond("a", "b", 0.1)
+        ).select(F.col("a.box_id").alias("a"), F.col("b.box_id").alias("b")).collect()
+    }
+    assert exact, "fixture should produce overlapping pairs"
+    for cell in (64.0, 256.0, 1024.0):
+        got = {(r["a"], r["b"]) for r in bucketed_overlap_join(boxes, cell=cell).collect()}
+        assert got == exact, f"cell={cell}"
+    plan = bucketed_overlap_join(boxes)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
