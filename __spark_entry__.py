@@ -522,6 +522,19 @@ WHERE t.y2 <= i.y1 AND (i.y1 - t.y2) <= 100
 """
 
 
+def q_above_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at scale: reach-strip/top-edge grid candidates + exact predicate
+    — identical output to the theta join (same oracle), hash-join plan.
+    Self-pairs need no explicit exclusion: a box is never above itself."""
+    from paddle_spark.operators.spatial import bucketed_above_join
+
+    boxes = _part_boxes(spark, sf_dir)
+    out = bucketed_above_join(boxes, boxes, cell=300.0)
+    return out.select(
+        F.col("text_id").alias("text_box"), F.col("image_id").alias("img_box")
+    )
+
+
 def q_dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/D4: duplicate keys collapse, last (latest) wins."""
     ev = _t(spark, sf_dir, "events")
@@ -1677,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "overlap_join_bucketed": q_overlap_join_bucketed,
         "above_join": q_above_join,
+        "above_join_bucketed": q_above_join_bucketed,
         "dedup_lastwins": q_dedup_lastwins,
         "caption_enrich": q_caption_enrich,
         # aggregations
@@ -1745,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_join": _OVERLAP_JOIN_ORACLE,
         "overlap_join_bucketed": _OVERLAP_JOIN_ORACLE,
         "above_join": _ABOVE_JOIN_ORACLE,
+        "above_join_bucketed": _ABOVE_JOIN_ORACLE,
         "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,

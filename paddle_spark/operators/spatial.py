@@ -44,6 +44,48 @@ def _cells(df: DataFrame, margin_ratio: float, cell: float) -> DataFrame:
     return df.withColumn("cx", F.explode(cxs)).withColumn("cy", F.explode(cys))
 
 
+def bucketed_above_join(
+    texts: DataFrame,
+    images: DataFrame,
+    id_col: str = "box_id",
+    max_distance: float = 100.0,
+    cell: float = 256.0,
+) -> DataFrame:
+    """J4 at scale: 'text directly above image' (text.y2 <= img.y1, gap <=
+    max_distance, x-overlap — bbox_text_matcher.py:70-83) via grid cells.
+
+    A qualifying pair's text 'reach strip' (x1..x2, y2..y2+max_distance)
+    intersects the image's top edge (x1..x2 at y1), so bucketing the strip
+    and the edge onto the same grid makes candidates a superset; the exact
+    predicate restores precision 1.0.
+    """
+    from paddle_spark.functions import above_cond
+
+    t = texts.select(F.col(id_col).alias("id"), "x1", "y1", "x2", "y2")
+    i = images.select(F.col(id_col).alias("id"), "x1", "y1", "x2", "y2")
+
+    def grid(df, gy1: Column, gy2: Column):
+        cxs = F.sequence(
+            F.floor(F.col("x1") / F.lit(cell)).cast("int"),
+            F.floor(F.col("x2") / F.lit(cell)).cast("int"),
+        )
+        cys = F.sequence(
+            F.floor(gy1 / F.lit(cell)).cast("int"),
+            F.floor(gy2 / F.lit(cell)).cast("int"),
+        )
+        return df.withColumn("cx", F.explode(cxs)).withColumn("cy", F.explode(cys))
+
+    te = grid(t, F.col("y2"), F.col("y2") + F.lit(max_distance))
+    ie = grid(i, F.col("y1"), F.col("y1"))
+    a, b = te.alias("t"), ie.alias("i")
+    pairs = a.join(
+        b, (F.col("t.cx") == F.col("i.cx")) & (F.col("t.cy") == F.col("i.cy"))
+    ).filter(above_cond("t", "i", max_distance))
+    return pairs.select(
+        F.col("t.id").alias("text_id"), F.col("i.id").alias("image_id")
+    ).distinct()
+
+
 def bucketed_overlap_join(
     boxes: DataFrame,
     id_col: str = "box_id",

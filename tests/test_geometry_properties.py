@@ -126,3 +126,33 @@ def test_bucketed_overlap_join_equals_theta(spark):
         assert got == exact, f"cell={cell}"
     plan = bucketed_overlap_join(boxes)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_above_join_equals_theta(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import above_cond
+    from paddle_spark.operators.spatial import bucketed_above_join
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        x1 = rng.uniform(0, 1600); y1 = rng.uniform(0, 2100)
+        rows.append((i, x1, y1, x1 + rng.uniform(5, 600), y1 + rng.uniform(5, 250)))
+    boxes = spark.createDataFrame(rows, "box_id long, x1 double, y1 double, x2 double, y2 double")
+    t, i_ = boxes.alias("t"), boxes.alias("i")
+    exact = {
+        (r["a"], r["b"])
+        for r in t.join(
+            i_, (F.col("t.box_id") != F.col("i.box_id")) & above_cond("t", "i", 100.0)
+        ).select(F.col("t.box_id").alias("a"), F.col("i.box_id").alias("b")).collect()
+    }
+    assert exact
+    for cell in (64.0, 256.0, 2048.0):
+        got = {
+            (r["text_id"], r["image_id"])
+            for r in bucketed_above_join(boxes, boxes, cell=cell).collect()
+        }
+        assert got == exact, f"cell={cell}"
