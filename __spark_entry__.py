@@ -1013,6 +1013,39 @@ FROM part
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (scheme/host lowercase, default-port strip,
+    fragment drop, tracking-param removal) + host extraction — the
+    web-pipeline normalization that precedes url-keyed dedup. Inputs are
+    constructed so the expected canonical form is closed-form SQL."""
+    from paddle_spark.functions import canonical_url_col, host_col
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Shop"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".Example.COM:443/Order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?utm_source=mail&id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("#top"),
+    )
+    return o.select(
+        "o_orderkey",
+        canonical_url_col(raw).alias("canonical"),
+        host_col(raw).alias("host"),
+    )
+
+
+_URL_CANON_ORACLE = """
+SELECT o_orderkey,
+  'https://www.shop' || (o_orderkey % 7) || '.example.com/Order/' ||
+    o_orderkey || '?id=' || o_orderkey AS canonical,
+  'shop' || (o_orderkey % 7) || '.example.com' AS host
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
 def q_b64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: base64 encode/decode parity (the reference shuttles file and
     image payloads as b64, layout_captioning.py:20-45, testScript.py:20-22;
@@ -1715,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "data_uri_strip": q_data_uri_strip,
         "b64_roundtrip": q_b64_roundtrip,
+        "url_canonicalize": q_url_canonicalize,
         "time_buckets": q_time_buckets,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -1781,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": _HTML_STRIP_ORACLE,
         "data_uri_strip": _DATA_URI_ORACLE,
         "b64_roundtrip": _B64_ORACLE,
+        "url_canonicalize": _URL_CANON_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

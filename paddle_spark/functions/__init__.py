@@ -122,3 +122,40 @@ def url_bucket_col(url: Column, n_buckets: int, salt: int = 0) -> Column:
     host/domain across all buckets (the reference's analog is spreading
     requests across Triton instances, config_gpu_paddlex.pbtxt:18-24)."""
     return F.pmod(F.xxhash64(url, F.lit(salt)), F.lit(n_buckets)).cast("int")
+
+
+def canonical_url_col(url: Column) -> Column:
+    """URL canonicalization for url-keyed dedup/grouping — the standard
+    web-pipeline normalizations, all JVM-side regex/string ops:
+
+    - scheme + host lowercased (authority case is insignificant),
+    - default ports stripped (:80 http, :443 https),
+    - fragment dropped,
+    - tracking params removed (utm_*, fbclid, gclid),
+    - trailing '?'/'&' tidied, trailing slash on a bare path kept as-is
+      (path semantics are origin-defined; we never rewrite path case).
+    """
+    # split once: scheme://authority, rest
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    after = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(after, r"^([^/?#]*)", 1)
+    rest = F.substring(after, F.length(authority) + 1, F.lit(1 << 20)).cast("string")
+    authority = F.lower(authority)
+    # default ports only: :80 for http, :443 for https
+    authority = F.when(
+        scheme == "http", F.regexp_replace(authority, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(authority, r":443$", "")
+    ).otherwise(authority)
+    rest = F.regexp_replace(rest, r"#.*$", "")                      # fragment
+    rest = F.regexp_replace(rest, r"([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")                    # dangling
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    return F.concat(scheme, F.lit("://"), authority, rest)
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host (port stripped) — the per-domain skew/stats key."""
+    h = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(h, r"^www\.", "")

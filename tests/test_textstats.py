@@ -103,3 +103,32 @@ def test_repetition_features(spark):
     assert got[3]["top_bigram_frac"] == 1.0        # all bigrams identical
     assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
     assert got[5]["top_bigram_frac"] == 0.0        # no bigrams
+
+
+def test_canonical_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import canonical_url_col, host_col
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/A?utm_source=x&q=1#frag":
+            ("https://www.example.com/Path/A?q=1", "example.com"),
+        "http://Host.org:80/a?b=2&utm_campaign=z&c=3":
+            ("http://host.org/a?b=2&c=3", "host.org"),
+        "https://site.net:8443/x?fbclid=abc":         # non-default port kept
+            ("https://site.net:8443/x", "site.net"),
+        "http://host:8080/p?gclid=1&x=2":
+            ("http://host:8080/p?x=2", "host"),
+        "https://a.b/?utm_medium=m": ("https://a.b/", "a.b"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: (r["c"], r["h"])
+        for r in df.select(
+            "url",
+            canonical_url_col(F.col("url")).alias("c"),
+            host_col(F.col("url")).alias("h"),
+        ).collect()
+    }
+    for u, expected in cases.items():
+        assert got[u] == expected, u
