@@ -128,15 +128,22 @@ def _http_body(payload: bytes) -> bytes:
 
 
 def warc_records_to_rows(data: bytes) -> list[tuple]:
-    """(url, warc_ts, html, text, lang) rows from one WARC file's bytes —
-    response records only (the page-bearing kind)."""
+    """(url, warc_ts, html, text, lang) rows from one WARC/WET file's
+    bytes. ``response`` records (WARC: raw page behind an HTTP envelope)
+    fill ``html``; ``conversion`` records (WET: Common Crawl's
+    pre-extracted UTF-8 text) fill ``text`` instead — the same table shape
+    serves both distribution formats."""
     rows = []
     for headers, payload in iter_warc_records(data):
-        if headers.get("warc-type") != "response":
-            continue
+        wtype = headers.get("warc-type")
         url = headers.get("warc-target-uri")
         ts = _warc_ts(headers.get("warc-date"))
-        rows.append((url, ts, _http_body(payload), None, None))
+        if wtype == "response":
+            rows.append((url, ts, _http_body(payload), None, None))
+        elif wtype == "conversion":  # WET text record
+            rows.append(
+                (url, ts, None, payload.decode("utf-8", errors="replace"), None)
+            )
     return rows
 
 

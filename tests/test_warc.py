@@ -92,3 +92,29 @@ def test_warc_parser_fuzz_never_raises():
                 b[rng.randrange(len(b))] = rng.randrange(256)
             rows = warc_records_to_rows(bytes(b))
             assert isinstance(rows, list) and len(rows) <= 6
+
+
+def test_wet_conversion_records():
+    """WET files (Common Crawl's pre-extracted text) are WARC conversion
+    records: text fills the `text` column, html stays null."""
+    body = "Extracted plain text.\nSecond line é.".encode("utf-8")
+    wet = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://ex.org/p\r\n"
+        b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    rows = warc_records_to_rows(wet)
+    assert len(rows) == 1
+    url, ts, html, text, lang = rows[0]
+    assert url == "https://ex.org/p" and html is None
+    assert text == "Extracted plain text.\nSecond line é."
+    # mixed file: response + conversion both land with the right columns
+    mixed = make_warc(_records(2)) + wet
+    rows = warc_records_to_rows(mixed)
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r[2] is not None) == 2
+    assert sum(1 for r in rows if r[3] is not None) == 1
