@@ -1,0 +1,76 @@
+"""Incremental (delta) extraction across crawl snapshots.
+
+Common-Crawl-style corpora arrive as monthly snapshots where most pages
+are byte-identical to the previous crawl. Re-extracting 10^12 documents
+when ~10% changed wastes 90% of the fleet — the idiomatic Spark shape is
+an anti-join on the input-payload hash:
+
+    new snapshot ──┬─ (url, payload_xxh) unchanged ──> carry prev rows
+                   └─ changed / new ──> extract_pages (the narrow waist)
+
+``payload_xxh`` (xxhash64 of the raw payload, computed JVM-side in
+extract_pages) is stored in every extracted row, so the previous output
+table IS the change-detection index — no extra state. Both joins are
+hash equi-joins on (url, payload_xxh); with both tables bucketed by the
+salted url hash they co-partition and the shuffle is one-sided.
+
+Byte-identity guarantee: carried rows were produced by the same kernels
+from the same bytes, so the merged output equals a full re-extraction
+row-for-row (pinned by test_delta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
+from paddle_spark.operators.extract_job import extract_pages
+
+_KEY = ["url", "payload_xxh"]
+
+
+def delta_extract(
+    pages_new: DataFrame,
+    extracted_prev: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Extraction output for the NEW snapshot, re-running kernels only on
+    changed/new payloads. Disappeared urls drop out (the output always
+    mirrors the new snapshot's url set); changed urls get fresh rows;
+    unchanged urls carry their previous rows verbatim."""
+    new_keyed = pages_new.withColumn("payload_xxh", F.xxhash64("html"))
+    prev_cols = [c for c in extracted_prev.columns if c != "run_id"]
+    prev = extracted_prev.select(*prev_cols)
+
+    # unchanged: previous rows whose (url, hash) still exists in the new
+    # snapshot — a semi-join keeps exactly those
+    carried = prev.join(
+        new_keyed.select(*_KEY), _KEY, "left_semi"
+    )
+    # changed/new: snapshot rows with no matching previous output
+    todo = new_keyed.join(prev.select(*_KEY), _KEY, "left_anti").drop(
+        "payload_xxh"
+    )
+    fresh = extract_pages(todo, cfg, n_partitions)
+    return carried.unionByName(fresh)
+
+
+def delta_stats(
+    pages_new: DataFrame, extracted_prev: DataFrame
+) -> dict:
+    """Driver-side summary of how much work a delta run saves (counts only
+    — three cheap aggregates, no extraction)."""
+    new_keyed = pages_new.select(
+        "url", F.xxhash64("html").alias("payload_xxh")
+    )
+    prev = extracted_prev.select(*_KEY)
+    n_new = new_keyed.count()
+    n_unchanged = new_keyed.join(prev, _KEY, "left_semi").count()
+    return {
+        "snapshot_docs": n_new,
+        "unchanged": n_unchanged,
+        "to_extract": n_new - n_unchanged,
+        "work_saved_frac": round(n_unchanged / n_new, 4) if n_new else 0.0,
+    }

@@ -41,6 +41,10 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("bucket", T.IntegerType(), False),
+        # input-payload hash: per-row input lineage, and the change-detection
+        # key for incremental re-extraction over crawl snapshots
+        # (operators/delta.delta_extract)
+        T.StructField("payload_xxh", T.LongType(), False),
         T.StructField("text", T.StringType(), True),
         T.StructField("text_sha256", T.StringType(), False),
         T.StructField("n_blocks_kept", T.IntegerType(), False),
@@ -51,7 +55,7 @@ EXTRACTED_SCHEMA = T.StructType(
     ]
 )
 
-_IN_COLS = ["url", "warc_ts", "html", "lang", "bucket"]
+_IN_COLS = ["url", "warc_ts", "html", "lang", "bucket", "payload_xxh"]
 
 
 def make_extract_batch(cfg: ExtractConfig):
@@ -73,6 +77,7 @@ def make_extract_batch(cfg: ExtractConfig):
                 "warc_ts": pdf["warc_ts"].to_numpy(),
                 "lang": pdf["lang"].to_numpy(),
                 "bucket": pdf["bucket"].to_numpy(),
+                "payload_xxh": pdf["payload_xxh"].to_numpy(),
                 "text": [None] * n,
                 "text_sha256": [""] * n,
                 "n_blocks_kept": [0] * n,
@@ -114,6 +119,9 @@ def extract_pages(
         "html",
         "lang",
         url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt).alias("bucket"),
+        # JVM-side input hash (xxhash64 of the raw payload) rides through
+        # the kernel untouched: input lineage + delta-extraction key
+        F.xxhash64("html").alias("payload_xxh"),
     )
     # The one shuffle: salted url-hash. Bucket count (lineage granularity)
     # and partition count (parallelism) are decoupled on purpose.

@@ -37,6 +37,7 @@ def streaming_extract(
         "html",
         "lang",
         url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt).alias("bucket"),
+        F.xxhash64("html").alias("payload_xxh"),
     )
     return src.mapInPandas(make_extract_batch(cfg), schema=EXTRACTED_SCHEMA)
 
