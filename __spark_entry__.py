@@ -1046,6 +1046,45 @@ FROM orders WHERE o_orderkey < 2000
 """
 
 
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: <a href> harvesting (absolute http(s)) +
+    canonicalization + host — the crawl-graph edge list, exploded to
+    scalar rows with an exact DuckDB twin."""
+    from paddle_spark.functions import canonical_url_col, host_col, outlinks_col
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    html = F.concat(
+        F.lit('<p>see <a href="HTTP://Partner'),
+        (F.col("c_custkey") % 5).cast("string"),
+        F.lit('.Example.ORG:80/ref?utm_campaign=x&cid='),
+        F.col("c_custkey").cast("string"),
+        F.lit('">link</a> and <a class="e" href=\'https://cdn.site.net/a/'),
+        F.col("c_custkey").cast("string"),
+        F.lit("'>two</a> plus <a href=\"/relative/skipped\">rel</a></p>"),
+    )
+    links = c.select(
+        "c_custkey", F.explode(outlinks_col(html)).alias("href")
+    )
+    return links.select(
+        "c_custkey",
+        canonical_url_col(F.col("href")).alias("canonical"),
+        host_col(F.col("href")).alias("host"),
+    )
+
+
+_OUTLINKS_ORACLE = """
+SELECT c_custkey,
+  'http://partner' || (c_custkey % 5) || '.example.org/ref?cid=' || c_custkey AS canonical,
+  'partner' || (c_custkey % 5) || '.example.org' AS host
+FROM customer WHERE c_custkey < 1000
+UNION ALL
+SELECT c_custkey,
+  'https://cdn.site.net/a/' || c_custkey AS canonical,
+  'cdn.site.net' AS host
+FROM customer WHERE c_custkey < 1000
+"""
+
+
 def q_b64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: base64 encode/decode parity (the reference shuttles file and
     image payloads as b64, layout_captioning.py:20-45, testScript.py:20-22;
@@ -1749,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_uri_strip": q_data_uri_strip,
         "b64_roundtrip": q_b64_roundtrip,
         "url_canonicalize": q_url_canonicalize,
+        "outlinks": q_outlinks,
         "time_buckets": q_time_buckets,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -1816,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "data_uri_strip": _DATA_URI_ORACLE,
         "b64_roundtrip": _B64_ORACLE,
         "url_canonicalize": _URL_CANON_ORACLE,
+        "outlinks": _OUTLINKS_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

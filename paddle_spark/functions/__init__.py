@@ -159,3 +159,12 @@ def host_col(url: Column) -> Column:
     """Lowercased host (port stripped) — the per-domain skew/stats key."""
     h = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
     return F.regexp_replace(h, r"^www\.", "")
+
+
+def outlinks_col(html_str: Column) -> Column:
+    """Absolute http(s) outlinks from <a href=...> tags — the crawl-graph
+    primitive (outlink tables feed frontier expansion / link-based quality
+    signals). Pure regexp_extract_all; compose with ``canonical_url_col``
+    after explode for a normalized edge list."""
+    pat = r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>]+)"""
+    return F.regexp_extract_all(html_str, F.lit(pat), 1)
