@@ -306,19 +306,43 @@ def make_real_pdf(page_texts: list[list[str]], compress: bool = False) -> bytes:
     return bytes(out)
 
 
-def make_warc(records: list[tuple[str, str, bytes]], gz: bool = False) -> bytes:
+def make_warc(
+    records: list[tuple[str, str, bytes]],
+    gz: bool = False,
+    chunked: bool = False,
+    content_gzip: bool = False,
+    chunk_size: int = 113,
+) -> bytes:
     """A valid WARC/1.0 file (ISO 28500 framing) of response records:
     ``records`` = [(url, iso_ts 'YYYY-mm-ddTHH:MM:SSZ', page_bytes)].
     ``gz=True`` emits one gzip member per record — the Common Crawl
-    layout. Exercises sources/warc.py end-to-end without external data."""
+    layout. ``chunked=True`` wraps each HTTP body in Transfer-Encoding:
+    chunked framing (RFC 9112 §7.1, with a chunk extension on the first
+    frame); ``content_gzip=True`` adds Content-Encoding: gzip — both
+    appear in real CC response records, and a compliant reader must
+    recover the identical page bytes. No external data needed."""
     import gzip as _gzip
 
     out = []
     for url, ts, body in records:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
-        )
+        wire = _gzip.compress(body, mtime=0) if content_gzip else body
+        if chunked:
+            frames = []
+            for off in range(0, len(wire), chunk_size):
+                piece = wire[off : off + chunk_size]
+                ext = b";x=1" if off == 0 else b""
+                frames.append(
+                    b"%x" % len(piece) + ext + b"\r\n" + piece + b"\r\n"
+                )
+            wire = b"".join(frames) + b"0\r\nX-Trailer: t\r\n\r\n"
+        hdrs = [b"HTTP/1.1 200 OK", b"Content-Type: text/html"]
+        if content_gzip:
+            hdrs.append(b"Content-Encoding: gzip")
+        if chunked:
+            hdrs.append(b"Transfer-Encoding: chunked")
+        else:
+            hdrs.append(b"Content-Length: " + str(len(wire)).encode())
+        http = b"\r\n".join(hdrs) + b"\r\n\r\n" + wire
         rec = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"

@@ -10,14 +10,18 @@ actual distribution format of Common Crawl — with nothing but the stdlib:
   own member, so any byte range is independently decompressible) via
   ``zlib`` streaming with multi-member restart.
 - response records carry an HTTP/1.1 envelope; we split status+headers
-  from the body (the page bytes that feed extraction).
+  from the body, undo ``Transfer-Encoding: chunked`` framing (RFC 9112
+  §7.1 hex-length frames — common in real CC response records) and
+  ``Content-Encoding: gzip/deflate``, yielding the page bytes that feed
+  extraction.
 
-Scale shape: one WARC file is one task unit — ``spark.read.format
-("binaryFile")`` lists the files, ``mapInPandas`` parses each file's
-bytes into N page rows (UDTF-style fan-out, U5). CC WARCs are ~1 GB;
-on a real cluster feed paths through ``warc_paths_to_pages`` instead so
-workers stream from storage rather than shipping whole files through the
-row — both entry points share the same parser.
+Scale shape: one WARC file is one task unit, and the DEFAULT entry point
+is ``warc_paths_to_pages`` — a path-per-row ``mapInPandas`` fan-out
+(UDTF-style, U5) where each worker opens its own ~1 GB archive and
+streams it, so file bytes never ride through a shuffle row.
+``read_warc_pages`` (binaryFile: whole file bytes in one row) remains
+for tests/small files and refuses rows above a size guard so the
+scale footgun cannot be hit silently.
 """
 
 from __future__ import annotations
@@ -118,13 +122,60 @@ def iter_warc_records(data: bytes):
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    ``hex-size[;ext]CRLF chunk-data CRLF ... 0 CRLF [trailers]``.
+    Total over malformed input — yields what decoded cleanly before
+    framing was lost (truncated records happen in real crawls)."""
+    out = []
+    pos, n = 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        try:
+            size = int(body[pos:eol].split(b";", 1)[0].strip() or b"x", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # last-chunk; trailers ignored
+        pos = eol + 2
+        chunk = body[pos : pos + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated
+        pos += size + 2  # skip the chunk-data CRLF
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Split the HTTP/1.1 response envelope off a response payload."""
-    if payload[:5] in (b"HTTP/",):
-        sep = payload.find(b"\r\n\r\n")
-        if sep >= 0:
-            return payload[sep + 4 :]
-    return payload
+    """Page bytes from an HTTP/1.1 response payload: split the envelope,
+    undo chunked transfer framing, then undo gzip/deflate content
+    encoding. Each layer degrades to pass-through on malformed input."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower().strip()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = _gunzip_members(body)
+        except zlib.error:
+            pass
+    elif enc == "deflate":
+        try:  # RFC says zlib-wrapped; the wild also ships raw deflate
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return body
 
 
 def warc_records_to_rows(data: bytes) -> list[tuple]:
@@ -147,18 +198,40 @@ def warc_records_to_rows(data: bytes) -> list[tuple]:
     return rows
 
 
-def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WARC files -> pages DataFrame via binaryFile + mapInPandas fan-out.
+#: read_warc_pages refuses archives above this size — 1 GB CC files must
+#: come in through warc_paths_to_pages (the default), never through a row.
+MAX_BINARYFILE_BYTES = 64 * 1024 * 1024
 
-    Ships each file's bytes through one row — fine for test/moderate
-    files; for 1 GB CC archives prefer ``warc_paths_to_pages``.
+
+def read_warc_pages(
+    spark: SparkSession,
+    path_glob: str,
+    max_bytes: int = MAX_BINARYFILE_BYTES,
+) -> DataFrame:
+    """TEST-SCALE variant: WARC files -> pages via binaryFile, shipping
+    each file's bytes through one row. The production entry point is
+    ``warc_paths_to_pages`` (path-per-row; workers stream the archive
+    themselves). Guard: files larger than ``max_bytes`` raise — a 1 GB
+    Common Crawl archive through a binaryFile row is a silent scale
+    footgun, so it fails loudly instead.
     """
-    files = spark.read.format("binaryFile").load(path_glob).select("content")
+    files = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "length", "content")
+    )
 
     def fan_out(batches):
         for pdf in batches:
             rows: list[tuple] = []
-            for data in pdf["content"]:
+            for path, length, data in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                if length > max_bytes:
+                    raise ValueError(
+                        f"{path}: {length} bytes > max_bytes={max_bytes}; "
+                        "use warc_paths_to_pages for large archives"
+                    )
                 try:
                     rows.extend(warc_records_to_rows(bytes(data)))
                 except Exception:  # per-file isolation (T5)

@@ -34,6 +34,65 @@ def test_roundtrip_plain_and_gz():
             assert ghtml == payload, url  # HTTP envelope stripped exactly
 
 
+def test_chunked_and_content_encoded_bodies():
+    """Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
+    envelopes must yield byte-identical html to the identity-encoded
+    twin (real CC response records carry both)."""
+    recs = _records(12)
+    plain = warc_records_to_rows(make_warc(recs))
+    for kw in (
+        dict(chunked=True),
+        dict(content_gzip=True),
+        dict(chunked=True, content_gzip=True),
+        dict(chunked=True, chunk_size=1),  # 1-byte frames: worst framing
+    ):
+        rows = warc_records_to_rows(make_warc(recs, **kw))
+        assert len(rows) == len(plain)
+        for (u1, _, h1, _, _), (u2, _, h2, _, _) in zip(plain, rows):
+            assert u1 == u2 and h1 == h2, (kw, u1)
+
+
+def test_chunked_malformed_degrades():
+    from paddle_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"") == b""
+    assert _dechunk(b"zz\r\nabc") == b""           # bad hex size
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    assert _dechunk(b"5\r\nhel") == b"hel"          # truncated chunk
+    assert _dechunk(b"5;a=b\r\nhello\r\nQQ") == b"hello"  # lost framing after
+
+
+def test_deflate_content_encoding():
+    import zlib
+
+    body = b"<html><body><p>deflated page</p></body></html>"
+    for wire in (zlib.compress(body), zlib.compress(body)[2:-4]):  # zlib + raw
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            b"Content-Length: " + str(len(wire)).encode() + b"\r\n\r\n" + wire
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://ex.org/d\r\n"
+            b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        rows = warc_records_to_rows(rec)
+        assert len(rows) == 1 and rows[0][2] == body
+
+
+def test_read_warc_pages_size_guard(spark, tmp_path):
+    """Oversize archives fail loudly through the binaryFile entry point
+    (the production path is warc_paths_to_pages)."""
+    p = tmp_path / "big.warc"
+    p.write_bytes(make_warc(_records(3)))
+    with pytest.raises(Exception, match="warc_paths_to_pages"):
+        read_warc_pages(spark, str(p), max_bytes=16).collect()
+    # same file passes through the path-per-row default
+    assert warc_paths_to_pages(spark, [str(p)]).count() == 3
+
+
 def test_non_response_records_skipped():
     data = (
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
