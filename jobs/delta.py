@@ -32,12 +32,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0)
     args = ap.parse_args(argv)
+    out_norm = os.path.normpath(os.path.abspath(args.output))
+    if out_norm in (
+        os.path.normpath(os.path.abspath(args.prev)),
+        os.path.normpath(os.path.abspath(args.input_new)),
+    ):
+        ap.error("--output must differ from --prev/--input-new "
+                 "(read-and-overwrite of the same path corrupts the input)")
 
     from pyspark.sql import SparkSession
 
     from paddle_spark.config import ExtractConfig
     from paddle_spark.operators.delta import delta_extract, delta_stats
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.appName("paddle_spark_delta")
         .config("spark.sql.session.timeZone", "UTC")
@@ -53,15 +61,15 @@ def main(argv: list[str] | None = None) -> int:
     prev = spark.read.parquet(args.prev)
     stats = delta_stats(pages_new, prev)
     merged = delta_extract(pages_new, prev, cfg, args.n_partitions)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(args.output)
-    )
+    # STATIC overwrite (not dynamic): the merged frame IS the complete new
+    # snapshot, so every old partition must go — with dynamic mode a bucket
+    # whose urls all disappeared would keep its stale files and the output
+    # would no longer mirror the snapshot's url set.
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(args.output)
     stats["written"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))
-    spark.stop()
+    if not preexisting:  # don't tear down a caller-owned session (tests)
+        spark.stop()
     return 0
 
 

@@ -39,10 +39,20 @@ def delta_extract(
     """Extraction output for the NEW snapshot, re-running kernels only on
     changed/new payloads. Disappeared urls drop out (the output always
     mirrors the new snapshot's url set); changed urls get fresh rows;
-    unchanged urls carry their previous rows verbatim."""
-    new_keyed = pages_new.withColumn("payload_xxh", F.xxhash64("html"))
+    unchanged urls carry their previous rows verbatim.
+
+    Duplicate (url, payload_xxh) rows — crawls do re-fetch the same page
+    — are collapsed to one on BOTH sides before the joins: duplicate keys
+    carry byte-identical payloads by construction, so the kernels would
+    produce identical rows anyway, and semi/anti joins are set-valued (a
+    key present twice in prev would otherwise survive twice while the
+    snapshot expects once, and vice versa). The equality invariant is
+    against the deduplicated snapshot (test_delta pins it)."""
+    new_keyed = pages_new.withColumn(
+        "payload_xxh", F.xxhash64("html")
+    ).dropDuplicates(_KEY)
     prev_cols = [c for c in extracted_prev.columns if c != "run_id"]
-    prev = extracted_prev.select(*prev_cols)
+    prev = extracted_prev.select(*prev_cols).dropDuplicates(_KEY)
 
     # unchanged: previous rows whose (url, hash) still exists in the new
     # snapshot — a semi-join keeps exactly those
@@ -64,8 +74,8 @@ def delta_stats(
     — three cheap aggregates, no extraction)."""
     new_keyed = pages_new.select(
         "url", F.xxhash64("html").alias("payload_xxh")
-    )
-    prev = extracted_prev.select(*_KEY)
+    ).dropDuplicates(_KEY)
+    prev = extracted_prev.select(*_KEY).dropDuplicates(_KEY)
     n_new = new_keyed.count()
     n_unchanged = new_keyed.join(prev, _KEY, "left_semi").count()
     return {

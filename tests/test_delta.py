@@ -54,6 +54,55 @@ def test_delta_stats_counts(spark, snapshots):
     assert 0.72 < s["work_saved_frac"] < 0.73
 
 
+def test_delta_duplicate_keys(spark, snapshots):
+    """Crawls re-fetch pages: duplicate (url, payload_xxh) rows in either
+    the snapshot or the previous output collapse to one — merged output
+    equals full re-extraction of the deduplicated snapshot."""
+    v1, v2 = snapshots
+    # duplicate rows on both sides: v2 with 30 rows repeated, prev built
+    # from v1 with 25 rows repeated (e.g. two runs unioned)
+    v2_dup = v2.unionByName(v2.limit(30))
+    prev_dup = extract_pages(v1, n_partitions=4)
+    prev_dup = prev_dup.unionByName(prev_dup.limit(25)).withColumn(
+        "run_id", F.lit("r1")
+    )
+    merged = delta_extract(v2_dup, prev_dup, n_partitions=4)
+    full = extract_pages(v2.dropDuplicates(["url"]), n_partitions=4)
+    assert merged.count() == v2.count()  # one row per distinct key
+    m = {r["url"]: (r["text_sha256"], r["payload_xxh"]) for r in merged.collect()}
+    f = {r["url"]: (r["text_sha256"], r["payload_xxh"]) for r in full.collect()}
+    assert m == f
+
+
+def test_delta_job_static_overwrite(spark, snapshots, tmp_path):
+    """Reusing an output dir across snapshot runs must not leave stale
+    bucket partitions behind when a bucket's urls all disappear."""
+    import jobs.delta as job
+
+    v1, v2 = snapshots
+    (tmp_path / "snap1").mkdir()
+    v1.write.mode("overwrite").parquet(str(tmp_path / "snap1" / "pages"))
+    # shrink: keep only 10 urls — most buckets empty out entirely
+    v_small = v2.orderBy("url").limit(10)
+    v_small.write.mode("overwrite").parquet(str(tmp_path / "snap2"))
+    prev = extract_pages(v1, n_partitions=4).withColumn("run_id", F.lit("r1"))
+    prev.write.mode("overwrite").parquet(str(tmp_path / "prev"))
+    out = str(tmp_path / "out")
+    rc = job.main(["--input-new", str(tmp_path / "snap1" / "pages"),
+                   "--prev", str(tmp_path / "prev"), "--output", out])
+    assert rc == 0
+    rc = job.main(["--input-new", str(tmp_path / "snap2"),
+                   "--prev", str(tmp_path / "prev"), "--output", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # no stale rows from the first run
+    # output == prev is refused
+    with pytest.raises(SystemExit):
+        job.main(["--input-new", str(tmp_path / "snap2"),
+                  "--prev", str(tmp_path / "prev"),
+                  "--output", str(tmp_path / "prev")])
+
+
 def test_delta_only_extracts_changed(spark, snapshots):
     """The fresh branch's plan touches only changed/new rows (anti-join),
     never the unchanged majority."""
