@@ -134,7 +134,14 @@ def canonical_url_col(url: Column) -> Column:
     - tracking params removed (utm_*, fbclid, gclid),
     - trailing '?'/'&' tidied, trailing slash on a bare path kept as-is
       (path semantics are origin-defined; we never rewrite path case).
+
+    Non-absolute input (no ``scheme://`` — relative hrefs, mailto:,
+    protocol-relative ``//host/...``) passes through UNCHANGED: the
+    normalizations above are only well-defined against an authority, and
+    mangling (e.g. '://example.com/path' from a schemeless input) would
+    silently corrupt dedup/group keys downstream.
     """
+    is_absolute = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     # split once: scheme://authority, rest
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     after = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -152,7 +159,8 @@ def canonical_url_col(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"[?&]+$", "")                    # dangling
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"&&+", "&")
-    return F.concat(scheme, F.lit("://"), authority, rest)
+    canon = F.concat(scheme, F.lit("://"), authority, rest)
+    return F.when(is_absolute, canon).otherwise(url)
 
 
 def host_col(url: Column) -> Column:

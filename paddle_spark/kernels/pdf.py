@@ -15,10 +15,16 @@ Scope (documented constraints, each -> graceful degradation, never a task
 failure):
 - Filters: FlateDecode and unfiltered streams. Others (DCT, LZW, ...) are
   skipped (their text, if any, is lost, not erred).
-- Encodings: 1-byte (Latin-1 superset). CID/Type0 2-byte strings decode as
-  latin-1 garbage-in-garbage-out rather than raising.
+- Encodings: 1-byte (Latin-1 superset) by default. Fonts carrying a
+  /ToUnicode CMap (ISO 32000-1 §9.10.3 bfchar/bfrange) decode through it;
+  /Type0 composite fonts read 2-byte codes (Identity-H, the dominant CID
+  layout). A Type0 font WITHOUT ToUnicode still degrades to
+  code-point-as-char garbage-in-garbage-out rather than raising.
 - Geometry: translation components of Tm/Td only (no rotation) — the
   overwhelmingly common case for born-digital text.
+- Page order: true /Root -> /Pages -> /Kids tree order (what a renderer
+  shows); object-number order is the fallback when the tree is absent or
+  unparseable.
 
 Operator semantics follow the public PDF 1.7 spec (ISO 32000-1 §9.4):
 BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', ".
@@ -39,6 +45,16 @@ _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)"
 )
 _PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_TOK_RE = re.compile(rb"<[0-9A-Fa-f]+>|\[|\]")
 
 # content-stream tokens: string | hex string | name | number | operator
 _CS_TOKEN_RE = re.compile(
@@ -147,6 +163,192 @@ def _content_streams(page_body: bytes, objs: dict[int, bytes]) -> bytes:
     return b"\n".join(parts)
 
 
+def _page_order(objs: dict[int, bytes], data: bytes) -> list[int] | None:
+    """Page object numbers in true document order: walk /Root (trailer ref
+    or any /Type /Catalog) -> /Pages -> /Kids depth-first. Returns None
+    when the tree is absent/unparseable — callers fall back to
+    object-number order. Cycle- and depth-guarded (fuzzed input)."""
+    root = None
+    m = _ROOT_RE.search(data)
+    if m and int(m[1]) in objs:
+        root = int(m[1])
+    else:
+        for num in sorted(objs):
+            if _CATALOG_RE.search(objs[num]):
+                root = num
+                break
+    if root is None:
+        return None
+    m = _PAGES_REF_RE.search(objs[root])
+    if not m or int(m[1]) not in objs:
+        return None
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        if num in seen or depth > 64 or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        kids = _KIDS_RE.search(body)
+        if kids and not _PAGE_RE.search(body):  # intermediate /Pages node
+            for km in _REF_RE.finditer(kids[1]):
+                walk(int(km[1]), depth + 1)
+        elif _PAGE_RE.search(body):
+            order.append(num)
+
+    walk(int(m[1]), 0)
+    return order or None
+
+
+def _dict_region(body: bytes, at: int) -> bytes | None:
+    """The balanced ``<< ... >>`` region starting at the first ``<<`` at or
+    after ``at`` (hex strings can't contain ``<<``, so depth is exact)."""
+    start = body.find(b"<<", at)
+    if start < 0:
+        return None
+    depth, i, n = 0, start, len(body)
+    while i < n - 1:
+        two = body[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _resolve_dict(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Value of dict key ``key`` (e.g. b"/Font"): inline ``<< >>`` or an
+    indirect reference resolved through ``objs``."""
+    m = re.search(re.escape(key) + rb"(?![A-Za-z])\s*<<", body)
+    if m:
+        return _dict_region(body, m.end() - 2)
+    m = re.search(re.escape(key) + rb"(?![A-Za-z])\s+(\d+)\s+\d+\s+R", body)
+    if m and int(m[1]) in objs:
+        return objs[int(m[1])]
+    return None
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {char code: unicode string} (ISO 32000-1
+    §9.10.3). Handles beginbfchar pairs and beginbfrange with either a
+    destination start code (low 16 bits increment) or an explicit array.
+    Bounded: ranges clamp to 64k codes, total entries to 256k."""
+    cmap: dict[int, str] = {}
+
+    def u16(h: bytes) -> str:
+        b = bytes.fromhex(h.decode("ascii"))
+        if len(b) % 2:
+            b = b"\x00" + b
+        return b.decode("utf-16-be", errors="replace")
+
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _CMAP_TOK_RE.findall(m[1])
+        for i in range(0, len(toks) - 1, 2):
+            a, b = toks[i], toks[i + 1]
+            if a[:1] == b"<" and b[:1] == b"<":
+                cmap[int(a[1:-1], 16)] = u16(b[1:-1])
+    for m in _BFRANGE_RE.finditer(data):
+        toks = _CMAP_TOK_RE.findall(m[1])
+        i = 0
+        while i + 3 <= len(toks):
+            if toks[i][:1] != b"<" or toks[i + 1][:1] != b"<":
+                i += 1
+                continue
+            lo, hi = int(toks[i][1:-1], 16), int(toks[i + 1][1:-1], 16)
+            hi = min(hi, lo + 0xFFFF)
+            if toks[i + 2] == b"[":
+                j, code = i + 3, lo
+                while j < len(toks) and toks[j] != b"]":
+                    if code <= hi and toks[j][:1] == b"<":
+                        cmap[code] = u16(toks[j][1:-1])
+                        code += 1
+                    j += 1
+                i = j + 1
+            else:
+                dst = bytes.fromhex(toks[i + 2][1:-1].decode("ascii"))
+                if len(dst) % 2:
+                    dst = b"\x00" + dst
+                prefix, last = dst[:-2], int.from_bytes(dst[-2:], "big")
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = (
+                        prefix + ((last + k) & 0xFFFF).to_bytes(2, "big")
+                    ).decode("utf-16-be", errors="replace")
+                i += 3
+            if len(cmap) > 1 << 18:
+                return cmap
+    return cmap
+
+
+def _page_fonts(
+    page_body: bytes, objs: dict[int, bytes]
+) -> dict[bytes, tuple[int, dict[int, str] | None]]:
+    """Per-page font map {b"/F1": (code_bytes, cmap|None)} from /Resources
+    (inline or ref, inherited via /Parent). Only fonts needing non-default
+    decoding are returned: /Type0 composites (2-byte codes) and simple
+    fonts that carry a /ToUnicode CMap."""
+    body = page_body
+    res = None
+    for _ in range(4):
+        res = _resolve_dict(body, b"/Resources", objs)
+        if res is not None:
+            break
+        p = _PARENT_RE.search(body)
+        if not p or int(p[1]) not in objs:
+            break
+        body = objs[int(p[1])]
+    if res is None:
+        return {}
+    fdict = _resolve_dict(res, b"/Font", objs)
+    if fdict is None:
+        return {}
+    fonts: dict[bytes, tuple[int, dict[int, str] | None]] = {}
+    for m in _FONT_REF_RE.finditer(fdict):
+        num = int(m[2])
+        if num not in objs:
+            continue
+        fbody = objs[num]
+        nbytes = 2 if _TYPE0_RE.search(fbody) else 1
+        cmap = None
+        tm = _TOUNICODE_RE.search(fbody)
+        if tm and int(tm[1]) in objs:
+            s = _stream_bytes(objs[int(tm[1])])
+            if s:
+                cmap = _parse_tounicode(s) or None
+        if nbytes == 2 or cmap:
+            fonts[b"/" + m[1]] = (nbytes, cmap)
+    return fonts
+
+
+def _decode_with_font(
+    s: str, font: tuple[int, dict[int, str] | None] | None
+) -> str:
+    """Re-decode a latin-1-tokenized string through the current font:
+    2-byte code split for /Type0, then the ToUnicode CMap when present.
+    Unmapped codes degrade to chr(code) — never an exception."""
+    if font is None:
+        return s
+    nbytes, cmap = font
+    raw = s.encode("latin-1")
+    out: list[str] = []
+    if nbytes == 2:
+        for i in range(0, len(raw) - 1, 2):
+            code = (raw[i] << 8) | raw[i + 1]
+            out.append(cmap[code] if cmap and code in cmap else chr(code))
+        if len(raw) % 2:
+            out.append(chr(raw[-1]))
+    else:
+        for b in raw:
+            out.append(cmap[b] if cmap and b in cmap else chr(b))
+    return "".join(out)
+
+
 def _media_box(page_body: bytes, objs: dict[int, bytes]) -> tuple[float, float]:
     body = page_body
     for _ in range(4):  # follow /Parent a few hops for inherited MediaBox
@@ -161,10 +363,15 @@ def _media_box(page_body: bytes, objs: dict[int, bytes]) -> tuple[float, float]:
     return 612.0, 792.0  # US Letter default
 
 
-def _runs_from_content(cs: bytes) -> list[tuple[str, float, float, float]]:
+def _runs_from_content(
+    cs: bytes,
+    fonts: dict[bytes, tuple[int, dict[int, str] | None]] | None = None,
+) -> list[tuple[str, float, float, float]]:
     """Replay text operators -> [(text, x, y, font_size)] in PDF user
     space (origin bottom-left). Width advance is the standard 0.5 em/char
-    estimate — enough to order runs and to place space-vs-abut joins."""
+    estimate — enough to order runs and to place space-vs-abut joins.
+    ``fonts`` (from _page_fonts) re-decodes strings through the font
+    selected by Tf (Type0 2-byte codes, ToUnicode CMaps)."""
     runs: list[tuple[str, float, float, float]] = []
     # text state: effective size = Tf size x |Tm d-scale|
     tf_size = 12.0
@@ -174,9 +381,11 @@ def _runs_from_content(cs: bytes) -> list[tuple[str, float, float, float]]:
     lx = ly = 0.0   # text-line origin
     x = y = 0.0     # current point
     stack: list = []
+    cur_font: tuple[int, dict[int, str] | None] | None = None
 
     def emit(s: str) -> None:
         nonlocal x
+        s = _decode_with_font(s, cur_font)
         if s:
             runs.append((s, x, y, size))
             x += 0.5 * size * len(s)
@@ -228,6 +437,8 @@ def _runs_from_content(cs: bytes) -> list[tuple[str, float, float, float]]:
             if op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
                 tf_size = float(stack[-1][1])
                 size = tf_size * scale
+                if fonts and len(stack) >= 2 and stack[-2][0] == "name":
+                    cur_font = fonts.get(stack[-2][1])
             elif op == b"TL" and stack and stack[-1][0] == "num":
                 leading = float(stack[-1][1])
             elif op == b"Td" and len(stack) >= 2:
@@ -332,11 +543,21 @@ def pdf_to_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
     has no parseable page tree (caller maps to parse_ok=false, T5).
 
     ``max_pages`` caps BEFORE content-stream replay (the expensive part),
-    mirroring the reference's cap-before-render (model.py:311-316, W4)."""
+    mirroring the reference's cap-before-render (model.py:311-316, W4).
+
+    Pages come in true /Root -> /Pages -> /Kids tree order (what the
+    reference renders, model.py:300-311); the object-number scan is the
+    fallback for PDFs whose tree is absent or unparseable, and also
+    rescues pages a malformed tree misses (appended in number order)."""
     objs = _objects(payload)
-    page_nums = [num for num, body in sorted(objs.items()) if _PAGE_RE.search(body)]
-    if not page_nums:
+    scanned = [num for num, body in sorted(objs.items()) if _PAGE_RE.search(body)]
+    if not scanned:
         raise ValueError("no /Type /Page objects found")
+    tree = _page_order(objs, payload)
+    if tree:
+        page_nums = tree + [n for n in scanned if n not in set(tree)]
+    else:
+        page_nums = scanned
     if max_pages is not None:
         page_nums = page_nums[:max_pages]
     pages = []
@@ -344,6 +565,10 @@ def pdf_to_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
         body = objs[num]
         w, h = _media_box(body, objs)
         cs = _content_streams(body, objs)
-        boxes = _runs_to_boxes(_runs_from_content(cs), w, h) if cs else []
+        boxes = (
+            _runs_to_boxes(_runs_from_content(cs, _page_fonts(body, objs)), w, h)
+            if cs
+            else []
+        )
         pages.append({"page_no": idx, "width": w, "height": h, "boxes": boxes})
     return pages

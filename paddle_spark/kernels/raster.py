@@ -123,7 +123,18 @@ def _tiff(p: bytes) -> dict | None:
 def _bmp(p: bytes) -> dict | None:
     if len(p) < 26:
         return None
-    w, h = struct.unpack("<ii", p[18:26])
+    # validate the DIB header size field — the 2-byte 'BM' sniff alone
+    # matches arbitrary text ("BMW…"); real files carry one of the
+    # BITMAPCOREHEADER/INFOHEADER/V4/V5 sizes here
+    dib = struct.unpack("<I", p[14:18])[0]
+    if dib == 12:  # BITMAPCOREHEADER: 16-bit unsigned dims
+        w, h = struct.unpack("<HH", p[18:22])
+    elif dib in (40, 52, 56, 108, 124):
+        w, h = struct.unpack("<ii", p[18:26])
+    else:
+        return None
+    if w <= 0 or h == 0:  # negative height = top-down rows, valid
+        return None
     return {"format": "bmp", "width": w, "height": abs(h), "n_frames": 1}
 
 

@@ -36,8 +36,9 @@ def _jpeg(w, h):
     )
 
 
-def _bmp(w, h):
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+def _bmp(w, h, dib=40):
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", dib)
+            + struct.pack("<ii", w, h) + b"\x00" * 8)
 
 
 def _tiff(w, h):
@@ -69,6 +70,21 @@ def test_bmp_and_tiff():
     assert decode_image_header(_bmp(31, 17))["width"] == 31
     t = decode_image_header(_tiff(100, 50))
     assert (t["width"], t["height"], t["n_frames"]) == (100, 50, 1)
+
+
+def test_bmp_validation():
+    # top-down BMP (negative height) is valid; height reported positive
+    m = decode_image_header(_bmp(31, -17))
+    assert (m["width"], m["height"]) == (31, 17)
+    # BITMAPCOREHEADER (dib=12) uses 16-bit unsigned dims
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 9, 7) + b"\x00" * 8
+    assert decode_image_header(core) == {
+        "format": "bmp", "width": 9, "height": 7, "n_frames": 1}
+    # text starting 'BM' is NOT a bitmap: bogus DIB size / dims rejected
+    assert decode_image_header(b"BMW is a carmaker, not a bitmap.") is None
+    assert decode_image_header(_bmp(31, 17, dib=99)) is None
+    assert decode_image_header(_bmp(-31, 17)) is None   # negative width
+    assert decode_image_header(_bmp(0, 0)) is None
 
 
 def test_malformed_total():

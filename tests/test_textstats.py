@@ -120,6 +120,11 @@ def test_canonical_url_edge_cases(spark):
         "http://host:8080/p?gclid=1&x=2":
             ("http://host:8080/p?x=2", "host"),
         "https://a.b/?utm_medium=m": ("https://a.b/", "a.b"),
+        # non-absolute inputs pass through unchanged (no '://' mangling)
+        "/relative/path?utm_source=x": ("/relative/path?utm_source=x", ""),
+        "//cdn.example.com/x.js": ("//cdn.example.com/x.js", ""),
+        "mailto:a@b.c": ("mailto:a@b.c", ""),
+        "example.com/Page#f": ("example.com/Page#f", ""),
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {
