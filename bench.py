@@ -42,8 +42,8 @@ HEADLINE = [
     "time_buckets",
     "dedup_minhash_lsh",
     "ann_topk",
-    "text_quality",
-    "text_fingerprint",
+    "text_stats",      # tokens + quality + fingerprint (consolidated)
+    "extract_real_pdf",  # real PDF parser chain, exact-oracled
 ]
 
 
@@ -176,17 +176,19 @@ def main() -> None:
         "extract_corpus": 3.33, "pricing_summary": 0.68,
         "computed_key_join": 0.47, "ordered_concat": 0.43,
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.49,
-        "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_quality": 0.39,
-        "text_fingerprint": 0.35,
+        "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_stats": 0.50,
+        "extract_real_pdf": 0.60,
     }
     suspect = [
         n for n, ref in quiet_ref.items()
         if n in timings and timings[n] > 2 * ref
     ]
     if (steal.get("cpu_steal_max_pct") or 0) > 20:
-        suspect = list(quiet_ref)
+        suspect = [n for n in quiet_ref if n in timings]
     if suspect:
-        retried = []
+        # both numbers go in the JSON: a genuine regression stays visible
+        # as pre_retry >> final, while co-tenant noise shows as a one-off
+        pre_retry = {n: timings[n] for n in suspect}
         for name in suspect:
             if name == "extract_corpus":
                 e2 = timed_best(
@@ -199,8 +201,8 @@ def main() -> None:
             else:
                 t2 = timed_best(lambda: queries[name](spark, SF_DIR), repeats=2)
                 timings[name] = min(timings[name], round(t2, 3))
-            retried.append(name)
-        steal["contention_retried"] = retried
+        steal["contention_retried"] = suspect
+        steal["contention_pre_retry_sec"] = pre_retry
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

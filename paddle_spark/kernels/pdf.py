@@ -36,7 +36,9 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_EOL_ENDSTREAM_RE = re.compile(rb"(\r\n|\r|\n)?endstream")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
@@ -131,16 +133,38 @@ def _objects(data: bytes) -> dict[int, bytes]:
 
 
 def _stream_bytes(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
+    m = _STREAM_START_RE.search(body)
     if not m:
         return None
-    raw = m[1]
-    if b"/FlateDecode" in body[: m.start()]:
+    start = m.end()
+    raw = None
+    # prefer the exact /Length slice: scanning for 'endstream' and
+    # stripping arbitrary whitespace corrupts binary (Flate) streams whose
+    # final bytes happen to be whitespace-valued (0x20/0x0a/0x0d)
+    lm = _LENGTH_RE.search(body[: m.start()])
+    if lm:
+        n = int(lm[1])
+        cand = body[start : start + n]
+        if len(cand) == n and _EOL_ENDSTREAM_RE.match(body[start + n : start + n + 11]):
+            raw = cand
+    if raw is None:  # indirect/absent/wrong /Length: fall back to the scan
+        end = body.find(b"endstream", start)
+        if end < 0:
+            return None
+        raw = body[start:end]
+        # ISO 32000-1 §7.3.8.1: ONE end-of-line marker precedes endstream
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+    head = body[: m.start()]
+    if b"/FlateDecode" in head:
         try:
-            return zlib.decompress(raw)
+            d = zlib.decompressobj()  # tolerates an unstripped EOL tail
+            return d.decompress(raw) + d.flush()
         except zlib.error:
             return None
-    if b"/Filter" in body[: m.start()]:
+    if b"/Filter" in head:
         return None  # unsupported filter: skip, don't fail
     return raw
 
