@@ -92,21 +92,68 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The candidate join is an equi-join on bucket — at 10^9 vectors this is
     the difference between N*Q and (N/2^p)*Q distance evaluations. Recall
-    is tunable via n_planes (fewer planes = bigger buckets = higher
-    recall/cost); multi-probe = union over neighboring buckets.
+    is tunable two ways: n_planes (fewer planes = bigger buckets = higher
+    recall/cost) and n_probe (multi-probe LSH): with ``n_probe`` > 1 each
+    query ALSO probes the n_probe-1 Hamming-1 buckets whose flipped plane
+    has the smallest projection margin |dot(q, plane)| — exactly the
+    planes a true neighbor most likely lands across. The probe fan-out is
+    query-side only (Q rows explode to Q*n_probe; corpus layout and the
+    equi-join shape are untouched), so cost scales linearly in n_probe
+    and the plan never degrades to a cartesian.
     """
+    n_probe = max(1, min(int(n_probe), n_planes + 1))
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     ).withColumn("bucket", lsh_bucket_col(F.col("cv"), planes))
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket_col(F.col("qv"), planes))
+    )
+    dots = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col("qv"), lit_plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    base = F.lit(0).cast("long")
+    for j, dot in enumerate(dots):
+        base = base + F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    if n_probe > 1:
+        # planes sorted by |margin| ascending; flip the weakest first
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(dots[j]).alias("m"),
+                        F.lit(j).cast("int").alias("j"),
+                    )
+                    for j in range(len(planes))
+                ]
+            )
+        )
+        flips = F.slice(margins, 1, n_probe - 1)
+        probes = F.concat(
+            F.array(base),
+            F.transform(
+                flips,
+                lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("long")),
+            ),
+        )
+    else:
+        probes = F.array(base)
+    q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), (F.col("qid") != F.col("cid")) & (c.bucket == q.bucket))
         .select(

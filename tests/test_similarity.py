@@ -133,3 +133,64 @@ def test_bucketed_near_dups_no_cartesian(embeddings):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_multi_probe_recall(spark):
+    """Multi-probe LSH: planted near-twins that land ONE sign bit away
+    from their query are invisible at n_probe=1 but recovered as n_probe
+    grows; recall is monotone in n_probe and the plan stays an equi-join
+    (never a cartesian)."""
+    rng = np.random.RandomState(7)
+    dim, n_planes = 16, 6
+    planes = np.array(S.hyperplanes(dim, n_planes, seed=42))
+
+    base = rng.normal(size=(40, dim))
+    rows, qrows = [], []
+    planted = {}
+    for i, v in enumerate(base):
+        qrows.append((i, [float(x) for x in v]))
+        # twin: reflect v across its weakest plane -> flips exactly that
+        # sign bit, tiny geometric move (guaranteed Hamming-1 neighbor)
+        d = planes @ v
+        j = int(np.argmin(np.abs(d)))
+        p = planes[j]
+        t = v - 2 * d[j] / (p @ p) * p * 1.001  # nudge past the plane
+        rows.append((10_000 + i, [float(x) for x in t]))
+        planted[i] = 10_000 + i
+    # distractors so buckets aren't empty
+    for i, v in enumerate(rng.normal(size=(200, dim))):
+        rows.append((20_000 + i, [float(x) for x in v]))
+
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+
+    def recall(n_probe):
+        out = S.lsh_topk(
+            corpus, queries, k=3, n_planes=n_planes, dim=dim, n_probe=n_probe
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], set()).add(r["cid"])
+        return sum(
+            1 for q, t in planted.items() if t in got.get(q, set())
+        ) / len(planted)
+
+    r1, r2, rall = recall(1), recall(2), recall(n_planes + 1)
+    assert r1 < 0.2          # twins are Hamming-1 by construction
+    assert r2 >= r1
+    assert rall >= 0.95      # probing every 1-bit flip recovers them
+    # weakest-margin-first: 2 probes already recover most twins (the twin
+    # flipped exactly the query's weakest plane)
+    assert r2 >= 0.9
+    plan = S.lsh_topk(
+        corpus, queries, k=3, n_planes=n_planes, dim=dim, n_probe=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_n_probe_one_unchanged(embeddings):
+    """n_probe=1 is byte-identical to the pre-knob behavior."""
+    q = embeddings.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3).collect()))
+    b = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3, n_probe=1).collect()))
+    assert a == b
