@@ -176,8 +176,8 @@ def main() -> None:
         "extract_corpus": 3.33, "pricing_summary": 0.68,
         "computed_key_join": 0.47, "ordered_concat": 0.43,
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.49,
-        "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_stats": 0.50,
-        "extract_real_pdf": 0.60,
+        "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_stats": 0.59,
+        "extract_real_pdf": 0.65,
     }
     suspect = [
         n for n, ref in quiet_ref.items()
