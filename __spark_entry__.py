@@ -1700,6 +1700,68 @@ FROM documents
 """
 
 
+def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode with an EXACT oracle: solid-color PNGs (filter
+    types 0-4 cycled per row, so unfiltering is load-bearing) and 24-bpp
+    BMPs whose dims/colors are closed-form in doc_id run through
+    kernels/pixels.py + the reference's frame preprocessing (3ch -> cap
+    128 -> BGR; model.py:328-334, :355-364). Solid color survives any
+    correct resample, so per-channel means equal the planted color and
+    the capped dims follow int(round(d * 128/largest)) — banker's
+    rounding on both sides (Python round / DuckDB round_even)."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import pixel_stats
+    from paddle_spark.sources.synth import make_bmp, make_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def to_img(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                w, h = 40 + (i * 13) % 200, 30 + (i * 17) % 200
+                color = ((i * 11) % 256, (i * 29) % 256, (i * 53) % 256)
+                arr = np.full((h, w, 3), color, dtype=np.uint8)
+                payloads.append(
+                    make_bmp(arr) if i % 5 == 0
+                    else make_png(arr, filter_types=[0, 1, 2, 3, 4])
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_img, schema="media_id long, payload binary")
+    return pixel_stats(media, max_dim=128)
+
+
+_MM_PIXEL_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         40 + (doc_id * 13) % 200 AS w,
+         30 + (doc_id * 17) % 200 AS h,
+         CAST((doc_id * 11) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 29) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 53) % 256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(CASE WHEN greatest(w, h) <= 128 THEN w
+       ELSE greatest(1, CAST(round_even(w * 128.0 / greatest(w, h), 0) AS BIGINT))
+       END AS INT) AS out_width,
+  CAST(CASE WHEN greatest(w, h) <= 128 THEN h
+       ELSE greatest(1, CAST(round_even(h * 128.0 / greatest(w, h), 0) AS BIGINT))
+       END AS INT) AS out_height,
+  3 AS n_channels,
+  r AS mean_r, g AS mean_g, b AS mean_b,
+  TRUE AS decode_ok
+FROM d
+"""
+
+
 def q_caption_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full caption-enrichment chain over part-derived blocks/images:
     filename-key parse -> last-wins key dedup -> size gate -> broadcast
@@ -1800,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked in r02 / new this round: run first ---
         "mm_decode_stub": q_mm_decode_stub,        # r01 red row; fix needs a green row
         "mm_decode_dims": q_mm_decode_dims,
+        "mm_pixel_stats": q_mm_pixel_stats,        # NEW: real pixel decode, exact oracle
         "extract_real_pdf": q_extract_real_pdf,    # NEW: exact oracle thru kernels/pdf.py
         "ann_lsh_planted": q_ann_lsh_planted,
         "ann_ivf_assign": q_ann_ivf_assign,
@@ -1870,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_html": _EXTRACT_HTML_ORACLE,
         "extract_real_pdf": _EXTRACT_REAL_PDF_ORACLE,
+        "mm_pixel_stats": _MM_PIXEL_STATS_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_signals": _text_signals_oracle(),
         "extract_layout_oracle": _EXTRACT_LAYOUT_ORACLE,

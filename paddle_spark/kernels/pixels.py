@@ -1,0 +1,228 @@
+"""Pixel-level image decode + channel ops (X8/S4) — pure Python/NumPy.
+
+Round-2 left pixel decode as a declared PIL swap point; this module closes
+most of that hole without any raster library: PNG is just zlib + per-line
+unfiltering (public spec: RFC 2083 / ISO 15948 §9), and uncompressed BMP
+is a strided memory view — both decode here bit-exactly. The channel ops
+re-express the reference's preprocessing (gray -> 3ch repeat, alpha drop,
+RGB -> BGR, largest-dimension downscale cap with bilinear resampling;
+/root/reference/server/model_repo/layout-parsing/1/model.py:328-334,
+:355-364). JPEG (DCT entropy decode) and GIF (LZW) pixel data remain the
+one declared seam — their header dims/frames still come from
+kernels/raster.py, and ``decode_pixels`` returns None so callers degrade.
+
+Scope (graceful degradation, never an exception escaping decode_pixels):
+- PNG: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
+  alpha), 6 (RGBA); filters 0-4 incl. Paeth; non-interlaced only.
+- BMP: BITMAPINFOHEADER family, 24/32 bpp, uncompressed, bottom-up or
+  top-down rows.
+- Resize: bilinear SAMPLING (half-pixel centers). PIL's BILINEAR uses a
+  triangle filter whose taps widen on downscale, so outputs are not
+  bit-identical to the reference's PIL call — the resize stays a
+  documented approximation; dims/means of the constructions used by the
+  driver oracle are exact.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters in place: raw is (h, 1+stride) bytes,
+    first byte of each row = filter type (RFC 2083 §6)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average — left term is sequential, loop per byte
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 1:  # Sub
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + a) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png_pixels(p: bytes) -> np.ndarray | None:
+    """PNG -> (H, W, C) uint8 array, or None when out of scope."""
+    if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", p[16:24])
+    depth, ctype, _comp, _filt, interlace = p[24:29]
+    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
+        return None  # 16-bit / interlaced: out of scope, degrade
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        return None
+    nch = _CHANNELS[ctype]
+    # walk chunks: concatenate IDAT, grab PLTE for palette images
+    idat, plte = [], None
+    i = 8
+    n = len(p)
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", p[i : i + 4])
+        tag = p[i + 4 : i + 8]
+        data = p[i + 8 : i + 8 + clen]
+        if tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8)
+        elif tag == b"IEND":
+            break
+        i += 12 + clen  # len + tag + data + crc
+    if not idat:
+        return None
+    try:
+        flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    stride = w * nch
+    if flat.size != h * (1 + stride):
+        return None
+    img = _unfilter(flat.reshape(h, 1 + stride), h, stride, nch)
+    img = img.reshape(h, w, nch)
+    if ctype == 3:  # palette -> RGB
+        if plte is None or plte.size % 3:
+            return None
+        pal = plte.reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        img = pal[idx]
+    return np.ascontiguousarray(img)
+
+
+def decode_bmp_pixels(p: bytes) -> np.ndarray | None:
+    """Uncompressed 24/32-bpp BMP -> (H, W, 3) uint8 RGB, or None."""
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", p[10:14])
+    (dib,) = struct.unpack("<I", p[14:18])
+    if dib not in (40, 52, 56, 108, 124):
+        return None
+    w, h = struct.unpack("<ii", p[18:26])
+    planes, bpp = struct.unpack("<HH", p[26:30])
+    (compression,) = struct.unpack("<I", p[30:34])
+    if w <= 0 or h == 0 or planes != 1 or bpp not in (24, 32) or compression:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if need > len(p):
+        return None
+    rows = np.frombuffer(
+        p[data_off : data_off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # stored BGR(A) -> RGB
+
+
+def decode_pixels(p: bytes | None) -> np.ndarray | None:
+    """Dispatch on container magic. PNG/BMP decode here; JPEG/GIF/TIFF/
+    WEBP pixel data is the declared seam (header dims via raster.py)."""
+    if not p:
+        return None
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_pixels(p)
+        if p[:2] == b"BM":
+            return decode_bmp_pixels(p)
+    except Exception:
+        return None
+    return None
+
+
+def to_3ch(img: np.ndarray) -> np.ndarray:
+    """Reference channel normalization (model.py:328-333): gray -> repeat
+    to 3 channels, gray+alpha -> drop alpha then repeat, RGBA -> drop
+    alpha. Always returns (H, W, 3)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def rgb_to_bgr(img: np.ndarray) -> np.ndarray:
+    """Channel swap (model.py:334 ``image[:, :, ::-1]``) — its own inverse."""
+    return np.ascontiguousarray(img[:, :, ::-1])
+
+
+def capped_size(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Downscale cap: if the largest dimension exceeds ``max_dim``, scale
+    both by max_dim/largest with Python round (banker's — matches the
+    reference's ``int(round(...))``, model.py:357-362); never below 1."""
+    largest = max(w, h)
+    if largest <= max_dim:
+        return w, h
+    scale = max_dim / float(largest)
+    return max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+
+
+def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Bilinear resample at half-pixel centers (documented approximation
+    of PIL BILINEAR — see module docstring)."""
+    h, w = img.shape[:2]
+    if (w, h) == (new_w, new_h):
+        return img
+    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    im = img.astype(np.float64)
+    top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
+    bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def preprocess_frame(
+    img: np.ndarray, max_dim: int = 6000
+) -> tuple[np.ndarray, int, int]:
+    """The reference's full frame preprocessing: 3-channel normalize ->
+    downscale cap -> BGR. Returns (bgr_image, out_w, out_h)."""
+    img = to_3ch(img)
+    h, w = img.shape[:2]
+    nw, nh = capped_size(w, h, max_dim)
+    if (nw, nh) != (w, h):
+        img = resize_bilinear(img, nw, nh)
+    return rgb_to_bgr(img), nw, nh

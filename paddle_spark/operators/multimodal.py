@@ -2,17 +2,21 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, Arrow batch shape, mapInPandas signatures,
-partitioning) is real and tested. The actual codec work (decode, resize,
-frame-sample, feature-extract) is a declared stub in this runtime: the
-raster/audio libraries are not installed, so the deterministic fake below
-stands in, and ``decode_real`` raises ``NotImplementedError`` behind an
-import-try — the swap point for PIL/ffmpeg on a real cluster.
+partitioning) is real and tested. Since round 3, PIXEL-LEVEL decode is
+real for PNG and BMP (kernels/pixels.py — pure zlib/NumPy) and feeds
+``pixel_stats`` with the reference's channel preprocessing (gray -> 3ch,
+alpha drop, downscale cap, RGB -> BGR). Only JPEG/GIF entropy decode and
+audio/video remain the declared seam: ``decode_real`` raises
+``NotImplementedError`` behind an import-try — the swap point for
+PIL/ffmpeg on a real cluster — and the deterministic fake stands in for
+feature vectors.
 
 Reference analog: the blip-caption backend's batched execute loop
 (/root/reference/server/model_repo/blip-caption/1/model.py:226-292 —
 iterate requests -> decode image -> infer -> encode), which is exactly an
-``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` mapInPandas body; and
-the image postprocess resize cap (model.py:96-119, <= 2000^2).
+``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` mapInPandas body; the
+frame preprocessing (layout-parsing model.py:328-334, :355-364); and the
+image postprocess resize cap (model.py:96-119, <= 2000^2).
 """
 
 from __future__ import annotations
@@ -119,3 +123,81 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
             )
 
     return src.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def pixel_stats(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_dim: int = 6000,
+) -> DataFrame:
+    """REAL pixel decode (PNG/BMP, kernels/pixels.py) through the
+    reference's frame preprocessing — 3-channel normalize, largest-dim
+    downscale cap, RGB->BGR (model.py:328-334, :355-364) — then
+    per-channel means of the processed frame. Arrow-batched mapInPandas
+    with per-item isolation (T5): undecodable payloads (JPEG/GIF entropy
+    data = the declared seam, or garbage) yield decode_ok=false rows,
+    never task failures."""
+    from paddle_spark.kernels.pixels import decode_pixels, preprocess_frame
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_pixels(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if img is None:
+                        rows.append(
+                            (int(mid), 0, 0, 0, 0, 0, None, None, None, False)
+                        )
+                        continue
+                    h, w = img.shape[:2]
+                    nch = img.shape[2] if img.ndim == 3 else 1
+                    bgr, ow, oh = preprocess_frame(img, max_dim)
+                    means = bgr.reshape(-1, 3).mean(axis=0)  # b, g, r
+                    rows.append(
+                        (
+                            int(mid), int(w), int(h), int(ow), int(oh),
+                            int(nch),
+                            round(float(means[2]), 6),
+                            round(float(means[1]), 6),
+                            round(float(means[0]), 6),
+                            True,
+                        )
+                    )
+                except Exception:  # per-item isolation
+                    rows.append(
+                        (int(mid), 0, 0, 0, 0, 0, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_width", "out_height",
+                    "n_channels", "mean_r", "mean_g", "mean_b", "decode_ok",
+                ],
+            )
+
+    return src.mapInPandas(batch, schema=PIXEL_SCHEMA)

@@ -356,6 +356,86 @@ def make_warc(
     return b"".join(out)
 
 
+def make_png(arr, filter_types: list[int] | None = None) -> bytes:
+    """A valid PNG (RFC 2083 framing: IHDR/IDAT/IEND + CRC32) from an
+    (H, W), (H, W, 1|2|3|4) uint8 array. ``filter_types`` picks the
+    forward scanline filter per row (cycled; default all-0) so decoder
+    unfiltering paths 0-4 are exercised by construction. Color type from
+    channel count: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+    import zlib as _zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    bpp = nch
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + tag + data
+            + _zlib.crc32(tag + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    fts = filter_types or [0]
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int32)
+        ft = fts[y % len(fts)]
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) if w * nch > bpp else np.zeros_like(line)
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if w * nch > bpp else np.zeros_like(prev)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = (line - left) & 0xFF
+        elif ft == 2:
+            enc = (line - prev) & 0xFF
+        elif ft == 3:
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (line - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(arr) -> bytes:
+    """A valid uncompressed 24-bpp bottom-up BMP (BITMAPINFOHEADER) from
+    an (H, W, 3) uint8 RGB array — rows padded to 4 bytes, stored BGR."""
+    import struct as _struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body.extend(a[y, :, ::-1].tobytes())  # RGB -> stored BGR
+        body.extend(b"\x00" * pad)
+    off = 14 + 40
+    return (
+        b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"

@@ -48,3 +48,39 @@ def test_decode_stub_schema_and_determinism(media):
 def test_decode_real_is_declared_stub():
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"anything")
+
+
+def test_pixel_stats_real_decode_and_isolation(spark):
+    """pixel_stats decodes real PNG/BMP pixels distributed; garbage and
+    seam formats (JPEG entropy data) become decode_ok=false rows, never
+    task failures."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_bmp, make_png
+
+    arr = np.zeros((10, 20, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200          # solid-ish: r=200, g=0, b=0
+    rows = [
+        (0, bytearray(make_png(arr, filter_types=[4]))),
+        (1, bytearray(make_bmp(arr))),
+        (2, bytearray(b"\xff\xd8\xff\xe0 not decodable jpeg")),
+        (3, bytearray(b"random garbage")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in MM.pixel_stats(media).collect()}
+    for mid in (0, 1):
+        r = out[mid]
+        assert r["decode_ok"] and (r["width"], r["height"]) == (20, 10)
+        assert (r["out_width"], r["out_height"]) == (20, 10)  # under cap
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (200.0, 0.0, 0.0)
+    for mid in (2, 3, 4):
+        assert not out[mid]["decode_ok"]
+    # resize cap engages distributed too
+    big = np.full((300, 400, 3), 10, dtype=np.uint8)
+    media2 = spark.createDataFrame(
+        [(9, bytearray(make_png(big)))], "media_id long, payload binary"
+    )
+    r = MM.pixel_stats(media2, max_dim=128).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (128, 96)
+    assert r["mean_r"] == 10.0

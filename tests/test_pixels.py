@@ -1,0 +1,178 @@
+"""Pixel-level decode + channel ops (kernels/pixels.py, X8/S4).
+
+PNG encode (sources/synth.make_png: forward filters + CRC framing) and
+decode (zlib + unfilter) are written against the spec independently —
+roundtrips must reproduce the ORIGINAL array for every color type and
+every filter type. BMP bytes are laid out by hand (bottom-up, padded,
+BGR) so the decoder is checked against the format, not a sibling encoder.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from paddle_spark.kernels.pixels import (
+    capped_size,
+    decode_bmp_pixels,
+    decode_pixels,
+    decode_png_pixels,
+    preprocess_frame,
+    resize_bilinear,
+    rgb_to_bgr,
+    to_3ch,
+)
+from paddle_spark.sources.synth import make_bmp, make_png
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_types_and_filters(nch, ft):
+    arr = _rand((13, 9, nch), seed=nch * 10 + ft)
+    got = decode_png_pixels(make_png(arr, filter_types=[ft]))
+    assert got is not None and got.shape == arr.shape
+    assert np.array_equal(got, arr)
+
+
+def test_png_mixed_filters_and_single_pixel():
+    arr = _rand((30, 17, 3), seed=5)
+    got = decode_png_pixels(make_png(arr, filter_types=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, arr)
+    one = _rand((1, 1, 1), seed=6)
+    assert np.array_equal(decode_png_pixels(make_png(one)), one)
+
+
+def test_png_palette():
+    """Color type 3: PLTE expansion to RGB."""
+    pal = _rand((7, 3), seed=8)
+    idx = _rand((10, 12, 1), seed=9) % 7
+    # hand-build: IHDR ctype 3 + PLTE + IDAT of filter-0 index rows
+    def chunk(tag, data):
+        return (len(data).to_bytes(4, "big") + tag + data
+                + zlib.crc32(tag + data).to_bytes(4, "big"))
+
+    h, w = idx.shape[:2]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png_pixels(png)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+    # out-of-range palette index -> None, not a crash
+    bad_raw = b"\x00" + bytes([250] * w) + raw[1 + w:]
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b""))
+    assert decode_png_pixels(bad) is None
+
+
+def test_png_out_of_scope_degrades():
+    arr = _rand((4, 4, 3), seed=1)
+    png = bytearray(make_png(arr))
+    png[24] = 16          # bit depth 16 -> out of scope
+    assert decode_png_pixels(bytes(png)) is None
+    png = bytearray(make_png(arr))
+    png[28] = 1           # interlaced -> out of scope
+    assert decode_png_pixels(bytes(png)) is None
+    assert decode_pixels(b"\x89PNG\r\n\x1a\ntrunc") is None
+    assert decode_pixels(None) is None
+    assert decode_pixels(b"") is None
+
+
+def test_png_decode_fuzz_never_raises():
+    import random
+
+    base = make_png(_rand((8, 8, 3), seed=3), filter_types=[0, 1, 2, 3, 4])
+    rng = random.Random(11)
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        out = decode_pixels(bytes(b))
+        assert out is None or isinstance(out, np.ndarray)
+
+
+def test_bmp_decode_hand_layout():
+    """Decoder vs hand-laid bytes: 2x2 RGB, bottom-up rows, 4-byte pad."""
+    # pixels: top row [red, green], bottom row [blue, white]
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    row_bottom = bytes([blue[2], blue[1], blue[0], white[2], white[1], white[0]]) + b"\x00\x00"
+    row_top = bytes([red[2], red[1], red[0], green[2], green[1], green[0]]) + b"\x00\x00"
+    body = row_bottom + row_top  # bottom-up storage
+    off = 54
+    bmp = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+           + body)
+    got = decode_bmp_pixels(bmp)
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == red and tuple(got[0, 1]) == green
+    assert tuple(got[1, 0]) == blue and tuple(got[1, 1]) == white
+
+
+def test_bmp_roundtrip_and_guards():
+    arr = _rand((9, 7, 3), seed=12)
+    assert np.array_equal(decode_bmp_pixels(make_bmp(arr)), arr)
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 60) is None      # bad dib
+    assert decode_bmp_pixels(b"BMW is a carmaker" + b"\x00" * 40) is None
+
+
+def test_channel_ops_reference_semantics():
+    g = _rand((5, 4), seed=13)
+    three = to_3ch(g)
+    assert three.shape == (5, 4, 3)
+    assert np.array_equal(three[:, :, 0], g) and np.array_equal(three[:, :, 2], g)
+    ga = _rand((5, 4, 2), seed=14)
+    assert np.array_equal(to_3ch(ga)[:, :, 1], ga[:, :, 0])  # alpha dropped
+    rgba = _rand((5, 4, 4), seed=15)
+    assert np.array_equal(to_3ch(rgba), rgba[:, :, :3])
+    rgb = _rand((5, 4, 3), seed=16)
+    assert np.array_equal(rgb_to_bgr(rgb), rgb[:, :, ::-1])
+    assert np.array_equal(rgb_to_bgr(rgb_to_bgr(rgb)), rgb)  # involution
+
+
+def test_capped_size_matches_reference_rounding():
+    # no cap when within bounds
+    assert capped_size(100, 50, 128) == (100, 50)
+    # reference: int(round(d * max/largest)), floor 1 (model.py:357-362)
+    assert capped_size(200, 100, 128) == (128, 64)
+    assert capped_size(1, 10000, 128) == (1, 128)
+    w, h = 239, 173
+    s = 128 / 239
+    assert capped_size(w, h, 128) == (128, max(1, int(round(h * s))))
+
+
+def test_resize_constant_image_stays_constant():
+    img = np.full((200, 150, 3), 77, dtype=np.uint8)
+    out = resize_bilinear(img, 64, 97)
+    assert out.shape == (97, 64, 3)
+    assert np.all(out == 77)
+
+
+def test_resize_preserves_smooth_gradient():
+    """Downscaling a linear gradient must stay monotone and close to the
+    analytic values at sampled centers."""
+    w, h = 256, 8
+    grad = np.tile(np.arange(w, dtype=np.uint8), (h, 1))[:, :, None].repeat(3, 2)
+    out = resize_bilinear(grad, 64, 8).astype(int)
+    row = out[0, :, 0]
+    assert np.all(np.diff(row) >= 0)
+    centers = (np.arange(64) + 0.5) * (w / 64) - 0.5
+    assert np.max(np.abs(row - np.clip(centers, 0, 255))) <= 2
+
+
+def test_preprocess_frame_end_to_end():
+    arr = _rand((300, 400, 4), seed=17)
+    bgr, ow, oh = preprocess_frame(arr, max_dim=128)
+    assert (ow, oh) == (128, 96)
+    assert bgr.shape == (96, 128, 3)
+    # no-resize path: channels exactly the reversed input
+    small = _rand((10, 20, 3), seed=18)
+    bgr2, ow2, oh2 = preprocess_frame(small, max_dim=128)
+    assert (ow2, oh2) == (20, 10)
+    assert np.array_equal(bgr2, small[:, :, ::-1])
