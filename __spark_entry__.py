@@ -1470,12 +1470,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_tokens / text_quality / text_fingerprint driver entries (same
     operators, one driver row; the per-operator pytest suites in
     test_textstats keep the fine-grained pins)."""
-    from paddle_spark.operators.textstats import fingerprint, quality_features
+    from paddle_spark.operators.textstats import (
+        bpe_token_count_col,
+        fingerprint,
+        quality_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
     q = quality_features(d)
     fp = fingerprint(d).select("doc_id", "fp_sha256")
-    return q.join(fp, "doc_id")
+    bpe = d.select(
+        "doc_id",
+        bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+    return q.join(fp, "doc_id").join(bpe, "doc_id")
 
 
 def _sw_list(lang: str) -> str:
@@ -1493,11 +1501,12 @@ WITH base AS (
          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
               w -> w != '' AND list_contains({_sw_list('en')}, lower(w)))) AS BIGINT) AS sw_en,
-         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp_sha256
+         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp_sha256,
+         CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
   FROM documents
 ),
 feats AS (
-  SELECT doc_id, n_chars, n_tokens, fp_sha256,
+  SELECT doc_id, n_chars, n_tokens, fp_sha256, n_bpe_tokens,
          round(length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_tokens, 1), 4) AS mean_word_len,
          round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
          round(n_upper / greatest(n_chars, 1), 4) AS upper_ratio,
@@ -1510,7 +1519,7 @@ SELECT doc_id, n_chars, n_tokens, mean_word_len, punct_ratio, upper_ratio, stopw
            0.4 + 2.0*stopword_ratio - 2.0*punct_ratio - 1.0*upper_ratio
            + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE -0.2 END))
        END, 4) AS quality_score,
-       fp_sha256
+       fp_sha256, n_bpe_tokens
 FROM feats
 """
 

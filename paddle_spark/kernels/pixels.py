@@ -7,8 +7,9 @@ is a strided memory view — both decode here bit-exactly. The channel ops
 re-express the reference's preprocessing (gray -> 3ch repeat, alpha drop,
 RGB -> BGR, largest-dimension downscale cap with bilinear resampling;
 /root/reference/server/model_repo/layout-parsing/1/model.py:328-334,
-:355-364). JPEG (DCT entropy decode) and GIF (LZW) pixel data remain the
-one declared seam — their header dims/frames still come from
+:355-364). GIF first frames decode too (LZW per the GIF89a spec,
+interlacing undone). JPEG (DCT entropy decode) pixel data is the one
+remaining declared seam — its header dims still come from
 kernels/raster.py, and ``decode_pixels`` returns None so callers degrade.
 
 Scope (graceful degradation, never an exception escaping decode_pixels):
@@ -16,6 +17,9 @@ Scope (graceful degradation, never an exception escaping decode_pixels):
   alpha), 6 (RGBA); filters 0-4 incl. Paeth; non-interlaced only.
 - BMP: BITMAPINFOHEADER family, 24/32 bpp, uncompressed, bottom-up or
   top-down rows.
+- GIF: first frame only (own rectangle); global or local palette;
+  interlaced row reorder; later frames / disposal composition stay out
+  of scope (frame COUNT still comes from raster.py).
 - Resize: bilinear SAMPLING (half-pixel centers). PIL's BILINEAR uses a
   triangle filter whose taps widen on downscale, so outputs are not
   bit-identical to the reference's PIL call — the resize stays a
@@ -147,9 +151,131 @@ def decode_bmp_pixels(p: bytes) -> np.ndarray | None:
     return np.ascontiguousarray(rows[:, :, 2::-1])  # stored BGR(A) -> RGB
 
 
+def _lzw_decode(mcs: int, data: bytes, max_px: int) -> list[int] | None:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable code width
+    starting at mcs+1, CLEAR resets the table, dictionary caps at 4096.
+    Returns the index stream or None on corrupt framing."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    out: list[int] = []
+    buf = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_px:
+                return None
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(p: bytes) -> np.ndarray | None:
+    """First frame of a GIF -> (H, W, 3) uint8 RGB via LZW decode +
+    palette mapping (GIF89a public spec). The frame's own rectangle is
+    returned (full-canvas first frames are the norm); later frames /
+    disposal composition are out of scope — frame COUNT still comes from
+    kernels/raster.py."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = p[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if i + 3 * n > len(p):
+            return None
+        gct = np.frombuffer(p[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    n_bytes = len(p)
+    while i < n_bytes:
+        b = p[i]
+        if b == 0x2C:  # image descriptor
+            if i + 10 > n_bytes:
+                return None
+            w, h = struct.unpack("<HH", p[i + 5 : i + 9])
+            lflags = p[i + 9]
+            i += 10
+            pal = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                if i + 3 * n > n_bytes:
+                    return None
+                pal = np.frombuffer(p[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None or w == 0 or h == 0 or w * h > 1 << 26:
+                return None
+            if i >= n_bytes:
+                return None
+            mcs = p[i]
+            i += 1
+            if not (2 <= mcs <= 11):
+                return None
+            chunks = []
+            while i < n_bytes and p[i] != 0:
+                ln = p[i]
+                chunks.append(p[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx = _lzw_decode(mcs, b"".join(chunks), w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            a = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if int(a.max(initial=0)) >= pal.shape[0]:
+                return None
+            img = pal[a]
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = []
+                for start, step in _GIF_INTERLACE:
+                    order.extend(range(start, h, step))
+                un = np.empty_like(img)
+                un[order] = img
+                img = un
+            return np.ascontiguousarray(img)
+        if b == 0x21:  # extension
+            i += 2
+            while i < n_bytes and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(p: bytes | None) -> np.ndarray | None:
-    """Dispatch on container magic. PNG/BMP decode here; JPEG/GIF/TIFF/
-    WEBP pixel data is the declared seam (header dims via raster.py)."""
+    """Dispatch on container magic. PNG/BMP/GIF(first frame) decode here;
+    JPEG/TIFF/WEBP pixel data is the declared seam (header dims via
+    raster.py)."""
     if not p:
         return None
     try:
@@ -157,6 +283,8 @@ def decode_pixels(p: bytes | None) -> np.ndarray | None:
             return decode_png_pixels(p)
         if p[:2] == b"BM":
             return decode_bmp_pixels(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_pixels(p)
     except Exception:
         return None
     return None

@@ -25,6 +25,23 @@ def token_count_col(text: Column) -> Column:
     return F.size(words_col(text))
 
 
+#: GPT-2-family pre-tokenizer shape WITHOUT lookahead so the identical
+#: pattern runs under Java regex (Spark) and RE2 (DuckDB): a token is an
+#: optionally-space-prefixed letter run, digit run, or punctuation run.
+#: Whitespace between tokens is absorbed by the optional prefix; counting
+#: matches approximates BPE token counts the way data pipelines use them
+#: (budgeting, truncation) without a vocab.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: number of BPE_ISH_PATTERN matches, JVM-side
+    (regexp_extract_all + size). A real tokenizer merges within runs, so
+    this LOWER-bounds GPT-2-style counts on ASCII text while staying a
+    pure Column op with an exact SQL twin."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def stopword_hits_col(text: Column, lang: str) -> Column:
     """Number of tokens that are stopwords of `lang` (duplicates count)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -436,6 +436,93 @@ def make_bmp(arr) -> bytes:
     )
 
 
+def _gif_lzw_encode(mcs: int, indices: list[int]) -> bytes:
+    """GIF-flavor LZW encoder (variable width, CLEAR init, 4096 cap) —
+    the forward twin of kernels/pixels._lzw_decode, written from the
+    GIF89a spec so roundtrips exercise real dictionary growth."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, bits
+        buf |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    cur = b""
+    for px in indices:
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if bits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def make_gif(indices, palette, interlace: bool = False) -> bytes:
+    """A valid single-frame GIF89a from an (H, W) index array and an
+    (N, 3) palette — real LZW data sub-blocks, optional interlacing."""
+    import struct as _struct
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = 2
+    while (1 << n) < pal.shape[0]:
+        n += 1
+    gct = np.zeros(((1 << n), 3), dtype=np.uint8)
+    gct[: pal.shape[0]] = pal
+    mcs = max(2, n)
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = idx[order]
+    else:
+        rows = idx
+    data = _gif_lzw_encode(mcs, [int(v) for v in rows.reshape(-1)])
+    blocks = bytearray()
+    for off in range(0, len(data), 255):
+        piece = data[off : off + 255]
+        blocks.append(len(piece))
+        blocks.extend(piece)
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + _struct.pack("<HH", w, h)
+        + bytes([0x80 | (n - 1), 0, 0])
+        + gct.tobytes()
+        + b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0])
+        + bytes([mcs]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"

@@ -176,3 +176,65 @@ def test_preprocess_frame_end_to_end():
     bgr2, ow2, oh2 = preprocess_frame(small, max_dim=128)
     assert (ow2, oh2) == (20, 10)
     assert np.array_equal(bgr2, small[:, :, ::-1])
+
+
+def test_gif_roundtrip_lzw():
+    """GIF first-frame decode: real LZW with dictionary growth (random
+    indices compress poorly -> max-width codes; runs compress well ->
+    long dictionary chains). Encoder and decoder are independent
+    spec-derived twins."""
+    from paddle_spark.kernels.pixels import decode_gif_pixels
+    from paddle_spark.sources.synth import make_gif
+
+    pal = _rand((16, 3), seed=21)
+    rng = np.random.RandomState(22)
+    # random field (poor compression) and run-heavy field (deep chains)
+    for idx in (
+        rng.randint(0, 16, (23, 31)),
+        np.repeat(np.arange(16).repeat(13)[None, :], 19, axis=0)[:, :97] % 16,
+        np.zeros((5, 4), dtype=int),
+    ):
+        gif = make_gif(idx, pal)
+        got = decode_gif_pixels(gif)
+        assert got is not None and got.shape == (*idx.shape, 3)
+        assert np.array_equal(got, pal[idx])
+
+
+def test_gif_interlaced_and_dispatch():
+    from paddle_spark.kernels.pixels import decode_gif_pixels
+    from paddle_spark.sources.synth import make_gif
+
+    pal = _rand((8, 3), seed=23)
+    idx = _rand((17, 9, 1), seed=24)[:, :, 0] % 8
+    inter = make_gif(idx, pal, interlace=True)
+    assert np.array_equal(decode_gif_pixels(inter), pal[idx])
+    assert np.array_equal(decode_pixels(inter), pal[idx])  # magic dispatch
+
+
+def test_gif_big_table_reset():
+    """>4096 dictionary entries force a CLEAR mid-stream."""
+    from paddle_spark.kernels.pixels import decode_gif_pixels
+    from paddle_spark.sources.synth import make_gif
+
+    pal = _rand((256, 3), seed=25)
+    idx = np.random.RandomState(26).randint(0, 256, (120, 80))
+    assert np.array_equal(decode_gif_pixels(make_gif(idx, pal)), pal[idx])
+
+
+def test_gif_malformed_degrades():
+    from paddle_spark.kernels.pixels import decode_gif_pixels
+    from paddle_spark.sources.synth import make_gif
+
+    pal = _rand((4, 3), seed=27)
+    base = make_gif(_rand((10, 10, 1), seed=28)[:, :, 0] % 4, pal)
+    assert decode_gif_pixels(base[:20]) is None            # truncated
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 6) is None
+    import random
+
+    rng = random.Random(29)
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        out = decode_pixels(bytes(b))
+        assert out is None or isinstance(out, np.ndarray)

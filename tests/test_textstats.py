@@ -137,3 +137,39 @@ def test_canonical_url_edge_cases(spark):
     }
     for u, expected in cases.items():
         assert got[u] == expected, u
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish counter: space-prefixed letter/digit/punct runs, the
+    GPT-2 pre-tokenizer shape without lookahead (identical pattern runs
+    under Java regex and RE2)."""
+    from paddle_spark.operators.textstats import bpe_token_count_col
+
+    cases = {
+        "hello world": 2,            # "hello", " world"
+        "hello, world!": 4,          # "hello", ",", " world", "!"
+        "a1b2": 4,                   # "a", "1", "b", "2"
+        "price: 1,234.56": 7,        # price, :, " 1", ",", 234, ., 56
+        "  double  spaces": 2,
+        "": 0,
+        "...": 1,
+        "don't": 3,                  # don, ', t
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r["t"]: r["n"]
+        for r in df.select(
+            "t", bpe_token_count_col(F.col("t")).alias("n")
+        ).collect()
+    }
+    for t, n in cases.items():
+        assert got[t] == n, (t, got[t])
+    # duckdb twin agrees on the same strings
+    import duckdb
+
+    pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    for t, n in cases.items():
+        (dn,) = duckdb.sql(
+            "select len(regexp_extract_all(?, ?))", params=[t, pat]
+        ).fetchone()
+        assert dn == n, (t, dn)
