@@ -32,6 +32,10 @@ if _REPO_ROOT not in sys.path:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="paddle_spark extraction job")
     ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-warc", nargs="+", default=None, metavar="PATH",
+                    help="instead of --input, WARC/WET archive paths "
+                         "(Common Crawl's native layout; one archive = one "
+                         "task via warc_paths_to_pages)")
     ap.add_argument("--gen", type=int, default=0,
                     help="instead of --input, synthesize N deterministic pages")
     ap.add_argument("--seed", type=int, default=42)
@@ -53,8 +57,8 @@ def main(argv: list[str] | None = None) -> int:
                          "(crash loses at most one group)")
     ap.add_argument("--max-pages-per-doc", type=int, default=None)
     args = ap.parse_args(argv)
-    if not args.gen and not args.input:
-        ap.error("one of --input / --gen is required")
+    if sum(bool(x) for x in (args.gen, args.input, args.input_warc)) != 1:
+        ap.error("exactly one of --input / --input-warc / --gen is required")
     if not args.output and not args.output_table:
         ap.error("one of --output / --output-table is required")
     if not args.checkpoint and not args.checkpoint_table:
@@ -89,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.gen:
         n_parts = args.n_partitions or spark.sparkContext.defaultParallelism
         pages = gen_pages_spark(spark, args.gen, seed=args.seed, n_partitions=n_parts)
+    elif args.input_warc:
+        from paddle_spark.sources.warc import warc_paths_to_pages
+
+        pages = warc_paths_to_pages(spark, args.input_warc)
     else:
         pages = spark.read.parquet(args.input)
 
