@@ -1441,6 +1441,62 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer after ONE DataFrame-native k-means round
+    (similarity.ivf_train: assign -> posexplode -> per-(cell,dim) avg ->
+    collect n_cells rows) — the iterative-algorithm pattern with an EXACT
+    oracle: DuckDB replays the same round in CTEs (assign via window
+    argmax, per-dim avg via subscript unnest, rebuild lists, reassign).
+    Means round to 6 on both sides so the refined centroids agree."""
+    from paddle_spark.operators.similarity import ivf_assign, ivf_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(e, n_cells=8, n_rounds=1)
+    return ivf_assign(e, cents).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "centroid_cosine"
+    )
+
+
+_IVF_REFINED_ORACLE = """
+WITH cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                      c.cell DESC) AS rn
+    FROM embeddings e CROSS JOIN cents0 c
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a.cell, i.i AS dim, round(avg(e.embedding[i.i]), 6) AS m
+  FROM a0 a JOIN embeddings e USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY a.cell, i.i
+),
+cents1 AS (
+  SELECT c0.cell, coalesce(d.cv1, c0.cv) AS cv
+  FROM cents0 c0
+  LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv1 FROM dims GROUP BY cell) d
+    ON c0.cell = d.cell
+)
+SELECT vec_id, cell, cos AS centroid_cosine FROM (
+  SELECT e.vec_id, c.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                    c.cell DESC) AS rn
+  FROM embeddings e CROSS JOIN cents1 c
+) WHERE rn = 1
+"""
+
+
 _IVF_ORACLE = """
 WITH cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
@@ -1875,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_real_pdf": q_extract_real_pdf,    # NEW: exact oracle thru kernels/pdf.py
         "ann_lsh_planted": q_ann_lsh_planted,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_refined": q_ann_ivf_refined,      # NEW: iterative k-means round
+
         "text_stats": q_text_stats,        # consolidates tokens/quality/fingerprint
         "text_signals": q_text_signals,    # consolidates langid/repetition
         "mm_binary_meta": q_mm_binary_meta,
@@ -1991,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_planted": _SIMHASH_PLANTED_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_assign": _IVF_ORACLE,
+        "ann_ivf_refined": _IVF_REFINED_ORACLE,
         "ann_lsh_planted": _ANN_LSH_PLANTED_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
         "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,

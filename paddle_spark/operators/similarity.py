@@ -261,6 +261,61 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """K-means refinement of the IVF coarse quantizer — the iterative
+    algorithm expressed DataFrame-native, no RDDs, no driver-side corpus:
+
+    each round = assign (map-only argmax over centroid literals, zero
+    shuffle) -> posexplode(v) -> groupBy(cell, dim).avg (ONE shuffle of
+    n_cells x dim partial sums thanks to map-side combine) -> collect
+    exactly n_cells rows. Driver state is bounded at n_cells x dim
+    floats per round regardless of corpus size; at 10^9 vectors the
+    per-round cost is a scan plus that one tiny aggregation.
+
+    Means round to 6 decimals so refined centroids are reproducible
+    across engines (the exact-oracle contract); empty cells keep their
+    previous centroid."""
+    cents = deterministic_centroids(emb, n_cells, id_col, vec_col)
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    for _ in range(n_rounds):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine_sim_col(
+                            F.col("v"), F.array(*[F.lit(float(x)) for x in cvec])
+                        ),
+                        6,
+                    ).alias("cos"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        assigned = v.withColumn("cell", F.array_max(scored)["cell"])
+        new_rows = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .collect()
+        )
+        refined = {
+            int(r["cell"]): [float(x["m"]) for x in r["dm"]] for r in new_rows
+        }
+        cents = [(cid, refined.get(cid, cvec)) for cid, cvec in cents]
+    return cents
+
+
 def deterministic_centroids(
     emb: DataFrame,
     n_cells: int = 8,

@@ -194,3 +194,25 @@ def test_lsh_n_probe_one_unchanged(embeddings):
     a = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3).collect()))
     b = sorted(map(tuple, S.lsh_topk(embeddings, q, k=3, n_probe=1).collect()))
     assert a == b
+
+
+def test_ivf_train_rounds_improve_quantization(embeddings):
+    """Each k-means round must not worsen mean cosine-to-centroid
+    (monotone improvement up to rounding), stay deterministic, and keep
+    driver state bounded at n_cells rows per round."""
+    def mean_cos(cents):
+        out = S.ivf_assign(embeddings, cents)
+        rows = out.agg(F.avg("centroid_cosine")).collect()
+        return rows[0][0]
+
+    c0 = S.deterministic_centroids(embeddings, n_cells=8)
+    c1 = S.ivf_train(embeddings, n_cells=8, n_rounds=1)
+    c2 = S.ivf_train(embeddings, n_cells=8, n_rounds=2)
+    m0, m1, m2 = mean_cos(c0), mean_cos(c1), mean_cos(c2)
+    assert m1 >= m0 - 1e-6 and m2 >= m1 - 1e-6
+    assert m1 > m0 + 0.01          # one round genuinely moves centroids
+    # determinism
+    again = S.ivf_train(embeddings, n_cells=8, n_rounds=1)
+    assert again == c1
+    # centroid count and dim preserved
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
