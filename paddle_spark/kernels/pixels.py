@@ -83,7 +83,9 @@ def decode_png_pixels(p: bytes) -> np.ndarray | None:
     depth, ctype, _comp, _filt, interlace = p[24:29]
     if depth != 8 or ctype not in _CHANNELS or interlace != 0:
         return None  # 16-bit / interlaced: out of scope, degrade
-    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+    # dimension + pixel-count guards: one hostile 10^8-px header must not
+    # balloon an executor's Arrow batch (SCALE.md kernels contract)
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15) or w * h > 1 << 26:
         return None
     nch = _CHANNELS[ctype]
     # walk chunks: concatenate IDAT, grab PLTE for palette images
@@ -138,6 +140,8 @@ def decode_bmp_pixels(p: bytes) -> np.ndarray | None:
         return None
     top_down = h < 0
     h = abs(h)
+    if w * h > 1 << 26:  # same pixel-count guard as PNG/GIF
+        return None
     nch = bpp // 8
     row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
     need = data_off + row_bytes * h

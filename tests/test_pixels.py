@@ -238,3 +238,22 @@ def test_gif_malformed_degrades():
             b[rng.randrange(len(b))] = rng.randrange(256)
         out = decode_pixels(bytes(b))
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_pixel_count_guards():
+    """Hostile huge-dimension headers are refused before allocation."""
+    import struct as _s
+
+    # PNG claiming 30000x30000 (9e8 px)
+    def chunk(tag, data):
+        return (len(data).to_bytes(4, "big") + tag + data
+                + zlib.crc32(tag + data).to_bytes(4, "big"))
+    ihdr = (30000).to_bytes(4, "big") + (30000).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    assert decode_png_pixels(png) is None
+    # BMP claiming 30000x30000
+    bmp = (b"BM" + _s.pack("<IHHI", 100, 0, 0, 54)
+           + _s.pack("<IiiHHIIiiII", 40, 30000, 30000, 1, 24, 0, 0, 0, 0, 0, 0)
+           + b"\x00" * 64)
+    assert decode_bmp_pixels(bmp) is None
