@@ -13,7 +13,9 @@ stage remains the declared swap point for those.
 
 Scope (documented constraints, each -> graceful degradation, never a task
 failure):
-- Filters: FlateDecode and unfiltered streams. Others (DCT, LZW, ...) are
+- Filters: FlateDecode, LZWDecode (MSB packing + EarlyChange), ASCIIHex,
+  ASCII85, RunLength, and chains thereof ([/ASCII85Decode /FlateDecode]).
+  Image filters (DCTDecode, JBIG2, ...) and /DecodeParms predictors are
   skipped (their text, if any, is lost, not erred).
 - Encodings: 1-byte (Latin-1 superset) by default. Fonts carrying a
   /ToUnicode CMap (ISO 32000-1 §9.10.3 bfchar/bfrange) decode through it;
@@ -37,6 +39,9 @@ import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[([^\]]*)\])")
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _EOL_ENDSTREAM_RE = re.compile(rb"(\r\n|\r|\n)?endstream")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
@@ -158,14 +163,125 @@ def _stream_bytes(body: bytes) -> bytes | None:
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
     head = body[: m.start()]
-    if b"/FlateDecode" in head:
-        try:
-            d = zlib.decompressobj()  # tolerates an unstripped EOL tail
-            return d.decompress(raw) + d.flush()
-        except zlib.error:
-            return None
     if b"/Filter" in head:
-        return None  # unsupported filter: skip, don't fail
+        try:
+            return _apply_filters(raw, head)
+        except Exception:
+            return None
+    return raw
+
+
+def _asciihex(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+    ignored, '>' EOD, odd trailing digit padded with 0."""
+    hexpart = data.split(b">", 1)[0]
+    clean = re.sub(rb"\s", b"", hexpart)
+    if re.search(rb"[^0-9A-Fa-f]", clean):
+        raise ValueError("bad hex digit")
+    if len(clean) % 2:
+        clean += b"0"
+    return bytes.fromhex(clean.decode("ascii"))
+
+
+def _ascii85(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3) via the stdlib's Adobe-mode decoder."""
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    return base64.a85decode(re.sub(rb"\s", b"", body))
+
+
+def _runlength(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): L<128 copy L+1 literals; L>128 repeat
+    next byte 257-L times; 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out.extend(data[i + 1 : i + 2 + ln])
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                break
+            out.extend(data[i + 1 : i + 2] * (257 - ln))
+            i += 2
+    return bytes(out)
+
+
+def _lzw_pdf(data: bytes, early: int = 1) -> bytes | None:
+    """LZWDecode (§7.4.4): 8-bit symbols, CLEAR=256 EOD=257, codes packed
+    MSB-first, width 9..12 growing EarlyChange codes before the table
+    fills (default 1). Returns None on corrupt framing."""
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out: list[bytes] = []
+    buf = bits = 0
+    prev: bytes | None = None
+    total = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (buf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return b"".join(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.append(entry)
+            total += len(entry)
+            if total > 1 << 26:
+                return None  # decompression-bomb guard
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return b"".join(out)
+
+
+def _apply_filters(raw: bytes, head: bytes) -> bytes | None:
+    """Apply the /Filter chain in order (name or array form). Unsupported
+    image filters (DCTDecode, JBIG2Decode, ...) -> None so callers skip
+    the stream rather than fail the document."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return raw
+    names = [m[1]] if m[1] else _FILTER_NAME_RE.findall(m[2])
+    for name in names:
+        if name in (b"FlateDecode", b"Fl"):
+            d = zlib.decompressobj()  # tolerates an unstripped EOL tail
+            raw = d.decompress(raw) + d.flush()
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            raw = _asciihex(raw)
+        elif name in (b"ASCII85Decode", b"A85"):
+            raw = _ascii85(raw)
+        elif name in (b"RunLengthDecode", b"RL"):
+            raw = _runlength(raw)
+        elif name in (b"LZWDecode", b"LZW"):
+            em = _EARLY_RE.search(head)
+            raw = _lzw_pdf(raw, int(em[1]) if em else 1)
+        else:
+            return None  # DCTDecode etc: unsupported, skip stream
+        if raw is None:
+            return None
     return raw
 
 
