@@ -1827,6 +1827,61 @@ FROM d
 """
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with an EXACT oracle: animated GIFs (1..6 frames,
+    real per-frame LZW data, graphic-control extensions) whose frame f is
+    solid palette color closed-form in (doc_id, f). frame_sample walks
+    every 2nd frame, decodes each for real, and reports dims + channel
+    means — the 1-row -> N-frame-rows fan-out (U5) over animation
+    payloads, reference cap semantics model.py:344-351."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import frame_sample
+    from paddle_spark.sources.synth import make_gif
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def to_gif(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                nf = 1 + i % 6
+                w, h = 16 + i % 20, 12 + i % 15
+                pal = [
+                    [(i * 7 + f * 31) % 256, (i * 13 + f * 17) % 256,
+                     (i * 19 + f * 11) % 256]
+                    for f in range(nf)
+                ]
+                frames = [np.full((h, w), f, dtype=np.uint8) for f in range(nf)]
+                payloads.append(make_gif(frames, pal))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_gif, schema="media_id long, payload binary")
+    return frame_sample(media, every_k=2, max_frames=8)
+
+
+_MM_FRAME_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 6 AS nf,
+         16 + doc_id % 20 AS w, 12 + doc_id % 15 AS h
+  FROM documents WHERE doc_id < 150
+),
+f AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_no FROM d
+)
+SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST((doc_id * 7 + frame_no * 31) % 256 AS DOUBLE) AS mean_r,
+  CAST((doc_id * 13 + frame_no * 17) % 256 AS DOUBLE) AS mean_g,
+  CAST((doc_id * 19 + frame_no * 11) % 256 AS DOUBLE) AS mean_b
+FROM f
+"""
+
+
 def q_caption_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full caption-enrichment chain over part-derived blocks/images:
     filename-key parse -> last-wins key dedup -> size gate -> broadcast
@@ -1928,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": q_mm_decode_stub,        # r01 red row; fix needs a green row
         "mm_decode_dims": q_mm_decode_dims,
         "mm_pixel_stats": q_mm_pixel_stats,        # NEW: real pixel decode, exact oracle
+        "mm_frame_sample": q_mm_frame_sample,      # NEW: animated-GIF frame sampling
         "extract_real_pdf": q_extract_real_pdf,    # NEW: exact oracle thru kernels/pdf.py
         "ann_lsh_planted": q_ann_lsh_planted,
         "ann_ivf_assign": q_ann_ivf_assign,
@@ -2001,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_html": _EXTRACT_HTML_ORACLE,
         "extract_real_pdf": _EXTRACT_REAL_PDF_ORACLE,
         "mm_pixel_stats": _MM_PIXEL_STATS_ORACLE,
+        "mm_frame_sample": _MM_FRAME_SAMPLE_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_signals": _text_signals_oracle(),
         "extract_layout_oracle": _EXTRACT_LAYOUT_ORACLE,

@@ -203,12 +203,13 @@ def _lzw_decode(mcs: int, data: bytes, max_px: int) -> list[int] | None:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_pixels(p: bytes) -> np.ndarray | None:
-    """First frame of a GIF -> (H, W, 3) uint8 RGB via LZW decode +
-    palette mapping (GIF89a public spec). The frame's own rectangle is
-    returned (full-canvas first frames are the norm); later frames /
-    disposal composition are out of scope — frame COUNT still comes from
-    kernels/raster.py."""
+def decode_gif_pixels(p: bytes, frame: int = 0) -> np.ndarray | None:
+    """Frame ``frame`` of a GIF -> (H, W, 3) uint8 RGB via LZW decode +
+    palette mapping (GIF89a public spec). Each frame's OWN rectangle is
+    decoded independently — no disposal-method composition (a sampled
+    frame of an optimized animation may be a partial rect; callers that
+    need composited frames sit behind the declared seam). Frame COUNT
+    still comes from kernels/raster.py."""
     if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     flags = p[10]
@@ -221,6 +222,7 @@ def decode_gif_pixels(p: bytes) -> np.ndarray | None:
         gct = np.frombuffer(p[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
         i += 3 * n
     n_bytes = len(p)
+    seen_frames = 0
     while i < n_bytes:
         b = p[i]
         if b == 0x2C:  # image descriptor
@@ -249,6 +251,10 @@ def decode_gif_pixels(p: bytes) -> np.ndarray | None:
                 ln = p[i]
                 chunks.append(p[i + 1 : i + 1 + ln])
                 i += 1 + ln
+            i += 1  # data-block terminator
+            if seen_frames != frame:
+                seen_frames += 1
+                continue  # skip undecoded to the requested frame
             idx = _lzw_decode(mcs, b"".join(chunks), w * h)
             if idx is None or len(idx) < w * h:
                 return None

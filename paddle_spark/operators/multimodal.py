@@ -201,3 +201,81 @@ def pixel_stats(
             )
 
     return src.mapInPandas(batch, schema=PIXEL_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_k: int = 2,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over animated payloads (U5-style fan-out: 1 media
+    row -> N sampled-frame rows). Frame count comes from the header walk
+    (kernels/raster.py); every ``every_k``-th frame up to ``max_frames``
+    decodes for real (GIF LZW per-frame; PNG/BMP = frame 0) and reports
+    dims + channel means. The cap mirrors the reference's
+    max-frames-per-request bound (model.py:344-351); non-animated or
+    undecodable payloads simply emit fewer (or zero) rows — per-item
+    isolation, never task failure."""
+    from paddle_spark.kernels.pixels import decode_gif_pixels, decode_pixels
+    from paddle_spark.kernels.raster import decode_image_header
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload) if payload is not None else None
+                    if not p:
+                        continue
+                    meta = decode_image_header(p)
+                    n = int(meta["n_frames"]) if meta else 1
+                    is_gif = p[:6] in (b"GIF87a", b"GIF89a")
+                    for fno in list(range(0, n, every_k))[:max_frames]:
+                        img = (
+                            decode_gif_pixels(p, frame=fno)
+                            if is_gif
+                            else (decode_pixels(p) if fno == 0 else None)
+                        )
+                        if img is None:
+                            continue
+                        h, w = img.shape[:2]
+                        m = img.reshape(-1, img.shape[2]).mean(axis=0)
+                        rows.append(
+                            (
+                                int(mid), int(fno), int(w), int(h),
+                                round(float(m[0]), 6),
+                                round(float(m[1]), 6),
+                                round(float(m[2]), 6),
+                            )
+                        )
+                except Exception:  # per-item isolation
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_no", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return src.mapInPandas(batch, schema=FRAME_SCHEMA)

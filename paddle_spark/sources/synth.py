@@ -484,43 +484,49 @@ def _gif_lzw_encode(mcs: int, indices: list[int]) -> bytes:
 
 
 def make_gif(indices, palette, interlace: bool = False) -> bytes:
-    """A valid single-frame GIF89a from an (H, W) index array and an
-    (N, 3) palette — real LZW data sub-blocks, optional interlacing."""
+    """A valid GIF89a from an (H, W) index array — or a LIST of them for
+    an animation (all frames share the global palette; per-frame graphic
+    control extensions included) — and an (N, 3) palette. Real LZW data
+    sub-blocks, optional interlacing (first frame)."""
     import struct as _struct
 
-    idx = np.asarray(indices, dtype=np.uint8)
+    frames = indices if isinstance(indices, list) else [indices]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     pal = np.asarray(palette, dtype=np.uint8)
-    h, w = idx.shape
+    h, w = frames[0].shape
     n = 2
     while (1 << n) < pal.shape[0]:
         n += 1
     gct = np.zeros(((1 << n), 3), dtype=np.uint8)
     gct[: pal.shape[0]] = pal
     mcs = max(2, n)
-    if interlace:
-        order = []
-        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-            order.extend(range(start, h, step))
-        rows = idx[order]
-    else:
-        rows = idx
-    data = _gif_lzw_encode(mcs, [int(v) for v in rows.reshape(-1)])
-    blocks = bytearray()
-    for off in range(0, len(data), 255):
-        piece = data[off : off + 255]
-        blocks.append(len(piece))
-        blocks.extend(piece)
-    blocks.append(0)
-    return (
-        b"GIF89a"
-        + _struct.pack("<HH", w, h)
-        + bytes([0x80 | (n - 1), 0, 0])
-        + gct.tobytes()
-        + b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
-        + bytes([0x40 if interlace else 0])
-        + bytes([mcs]) + bytes(blocks)
-        + b"\x3b"
+    out = bytearray(
+        b"GIF89a" + _struct.pack("<HH", w, h)
+        + bytes([0x80 | (n - 1), 0, 0]) + gct.tobytes()
     )
+    for k, idx in enumerate(frames):
+        fh, fw = idx.shape
+        lace = interlace and k == 0
+        if lace:
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order.extend(range(start, fh, step))
+            rows = idx[order]
+        else:
+            rows = idx
+        if len(frames) > 1:  # graphic control extension per frame
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        data = _gif_lzw_encode(mcs, [int(v) for v in rows.reshape(-1)])
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, fw, fh)
+        out += bytes([0x40 if lace else 0])
+        out += bytes([mcs])
+        for off in range(0, len(data), 255):
+            piece = data[off : off + 255]
+            out.append(len(piece))
+            out += piece
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
 def make_garbage(rng: random.Random) -> bytes:

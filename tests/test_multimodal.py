@@ -84,3 +84,25 @@ def test_pixel_stats_real_decode_and_isolation(spark):
     r = MM.pixel_stats(media2, max_dim=128).collect()[0]
     assert (r["out_width"], r["out_height"]) == (128, 96)
     assert r["mean_r"] == 10.0
+
+
+def test_frame_sample_fanout_and_isolation(spark):
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_gif, make_png
+
+    pal = [[10, 20, 30], [200, 100, 50], [1, 2, 3]]
+    frames = [np.full((6, 9), f, dtype=np.uint8) for f in range(3)]
+    rows = [
+        (0, bytearray(make_gif(frames, pal))),            # 3 frames -> 0, 2
+        (1, bytearray(make_png(np.full((4, 5, 3), 7, dtype=np.uint8)))),
+        (2, bytearray(b"junk")),                          # no rows
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = MM.frame_sample(media, every_k=2, max_frames=8).collect()
+    got = {(r["media_id"], r["frame_no"]): r for r in out}
+    assert set(got) == {(0, 0), (0, 2), (1, 0)}
+    assert (got[(0, 0)]["mean_r"], got[(0, 0)]["mean_g"]) == (10.0, 20.0)
+    assert got[(0, 2)]["mean_b"] == 3.0
+    assert got[(1, 0)]["mean_r"] == 7.0 and got[(1, 0)]["width"] == 5

@@ -257,3 +257,18 @@ def test_pixel_count_guards():
            + _s.pack("<IiiHHIIiiII", 40, 30000, 30000, 1, 24, 0, 0, 0, 0, 0, 0)
            + b"\x00" * 64)
     assert decode_bmp_pixels(bmp) is None
+
+
+def test_gif_multi_frame_decode():
+    """Animated GIF: each frame decodes independently by index."""
+    from paddle_spark.kernels.pixels import decode_gif_pixels
+    from paddle_spark.sources.synth import make_gif
+
+    pal = _rand((8, 3), seed=31)
+    frames = [_rand((7, 11, 1), seed=40 + k)[:, :, 0] % 8 for k in range(4)]
+    gif = make_gif(frames, pal)
+    from paddle_spark.kernels.raster import decode_image_header
+    assert decode_image_header(gif)["n_frames"] == 4
+    for k, f in enumerate(frames):
+        assert np.array_equal(decode_gif_pixels(gif, frame=k), pal[f]), k
+    assert decode_gif_pixels(gif, frame=9) is None  # past the end
