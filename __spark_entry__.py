@@ -1766,19 +1766,22 @@ FROM documents
 
 
 def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode with an EXACT oracle: solid-color PNGs (filter
-    types 0-4 cycled per row, so unfiltering is load-bearing) and 24-bpp
-    BMPs whose dims/colors are closed-form in doc_id run through
-    kernels/pixels.py + the reference's frame preprocessing (3ch -> cap
-    128 -> BGR; model.py:328-334, :355-364). Solid color survives any
-    correct resample, so per-channel means equal the planted color and
-    the capped dims follow int(round(d * 128/largest)) — banker's
-    rounding on both sides (Python round / DuckDB round_even)."""
+    """REAL pixel decode with an EXACT oracle across THREE codecs:
+    solid-color PNGs (filter types 0-4 cycled per row, so unfiltering is
+    load-bearing), 24-bpp BMPs, and solid-gray baseline JPEGs (quant=8
+    makes the DC path lossless — kernels/jpeg.py gets a driver-exact row
+    despite JPEG being lossy in general). Dims/colors are closed-form in
+    doc_id; payloads run through kernels/pixels.py + the reference's
+    frame preprocessing (3ch -> cap 128 -> BGR; model.py:328-334,
+    :355-364). Solid color survives any correct resample, so per-channel
+    means equal the planted color and capped dims follow
+    int(round(d * 128/largest)) — banker's rounding on both sides
+    (Python round / DuckDB round_even)."""
     import numpy as np
     import pandas as pd
 
     from paddle_spark.operators.multimodal import pixel_stats
-    from paddle_spark.sources.synth import make_bmp, make_png
+    from paddle_spark.sources.synth import make_bmp, make_jpeg, make_png
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
@@ -1791,11 +1794,21 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in ids:
                 w, h = 40 + (i * 13) % 200, 30 + (i * 17) % 200
                 color = ((i * 11) % 256, (i * 29) % 256, (i * 53) % 256)
-                arr = np.full((h, w, 3), color, dtype=np.uint8)
-                payloads.append(
-                    make_bmp(arr) if i % 5 == 0
-                    else make_png(arr, filter_types=[0, 1, 2, 3, 4])
-                )
+                if i % 5 == 0:
+                    payloads.append(
+                        make_bmp(np.full((h, w, 3), color, dtype=np.uint8))
+                    )
+                elif i % 5 == 1:
+                    payloads.append(
+                        make_jpeg(np.full((h, w), color[0], dtype=np.uint8))
+                    )
+                else:
+                    payloads.append(
+                        make_png(
+                            np.full((h, w, 3), color, dtype=np.uint8),
+                            filter_types=[0, 1, 2, 3, 4],
+                        )
+                    )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(to_img, schema="media_id long, payload binary")
@@ -1820,8 +1833,10 @@ SELECT doc_id AS media_id,
   CAST(CASE WHEN greatest(w, h) <= 128 THEN h
        ELSE greatest(1, CAST(round_even(h * 128.0 / greatest(w, h), 0) AS BIGINT))
        END AS INT) AS out_height,
-  3 AS n_channels,
-  r AS mean_r, g AS mean_g, b AS mean_b,
+  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 3 END AS INT) AS n_channels,
+  CASE WHEN doc_id % 5 = 1 THEN r ELSE r END AS mean_r,
+  CASE WHEN doc_id % 5 = 1 THEN r ELSE g END AS mean_g,
+  CASE WHEN doc_id % 5 = 1 THEN r ELSE b END AS mean_b,
   TRUE AS decode_ok
 FROM d
 """

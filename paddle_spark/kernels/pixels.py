@@ -283,9 +283,9 @@ def decode_gif_pixels(p: bytes, frame: int = 0) -> np.ndarray | None:
 
 
 def decode_pixels(p: bytes | None) -> np.ndarray | None:
-    """Dispatch on container magic. PNG/BMP/GIF(first frame) decode here;
-    JPEG/TIFF/WEBP pixel data is the declared seam (header dims via
-    raster.py)."""
+    """Dispatch on container magic. PNG/BMP/GIF(first frame)/baseline
+    JPEG decode here; TIFF/WEBP pixel data (and progressive JPEG) is the
+    declared seam (header dims via raster.py)."""
     if not p:
         return None
     try:
@@ -295,6 +295,10 @@ def decode_pixels(p: bytes | None) -> np.ndarray | None:
             return decode_bmp_pixels(p)
         if p[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif_pixels(p)
+        if p[:3] == b"\xff\xd8\xff":
+            from paddle_spark.kernels.jpeg import decode_jpeg_pixels
+
+            return decode_jpeg_pixels(p)
     except Exception:
         return None
     return None

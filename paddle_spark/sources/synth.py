@@ -529,6 +529,183 @@ def make_gif(indices, palette, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_jpeg(
+    arr,
+    subsample: str = "444",
+    quant: int = 8,
+    restart: int = 0,
+) -> bytes:
+    """A valid baseline JPEG (ITU-T T.81) from an (H, W[, 3]) uint8
+    array — the forward twin of kernels/jpeg.decode_jpeg_pixels, written
+    independently against the spec: level shift -> DCT -> flat
+    quantization (all entries = ``quant``) -> canonical Huffman (flat
+    9-bit tables carried in DHT) -> stuffed bitstream, optional 4:2:0 /
+    4:2:2 subsampling and DRI restart intervals. ``quant=8`` makes
+    solid-color blocks LOSSLESS (DC = (c-128)*8 quantizes exactly)."""
+    from paddle_spark.kernels.jpeg import ZIGZAG, dct2
+
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    if gray:
+        comps_spec = [(1, 1, 0)]
+        planes = [a]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            comps_spec = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
+        elif subsample == "422":
+            comps_spec = [(2, 1, 0), (1, 1, 1), (1, 1, 1)]
+        else:
+            comps_spec = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
+        planes = [y, cb, cr]
+    h, w = a.shape[:2]
+    hmax = max(c[0] for c in comps_spec)
+    vmax = max(c[1] for c in comps_spec)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def down(plane, fx, fy):
+        if fx == 1 and fy == 1:
+            return plane
+        ph, pw = plane.shape
+        pad = np.pad(plane, ((0, ph % fy), (0, pw % fx)), mode="edge")
+        return pad.reshape(
+            pad.shape[0] // fy, fy, pad.shape[1] // fx, fx
+        ).mean(axis=(1, 3))
+
+    prepped = []
+    for (ch, cv, _), plane in zip(comps_spec, planes):
+        p2 = down(plane, hmax // ch, vmax // cv)
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        p2 = np.pad(
+            p2, ((0, th - p2.shape[0]), (0, tw - p2.shape[1])), mode="edge"
+        )
+        prepped.append(p2)
+
+    # flat 9-bit canonical Huffman: DC cats 0..11, AC 0x00/0xF0 + (r,s)
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+
+    def canon(symbols):
+        return {s: (9, i) for i, s in enumerate(symbols)}
+
+    dc_code, ac_code = canon(dc_syms), canon(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    import struct
+
+    zz_vals = bytes(quant for _ in range(64))
+    seg(b"\xff\xdb", b"\x00" + zz_vals)
+    seg(b"\xff\xdb", b"\x01" + zz_vals)
+    sof = bytearray(b"\x08" + struct.pack(">HH", h, w) + bytes([len(comps_spec)]))
+    for k, (ch, cv, tq) in enumerate(comps_spec):
+        sof += bytes([k + 1, (ch << 4) | cv, tq])
+    seg(b"\xff\xc0", bytes(sof))
+
+    def dht(tc, th, symbols):
+        counts = [0] * 16
+        counts[8] = len(symbols)  # all 9-bit
+        seg(b"\xff\xc4", bytes([tc << 4 | th] + counts) + bytes(symbols))
+
+    dht(0, 0, dc_syms)
+    dht(1, 0, ac_syms)
+    if restart:
+        seg(b"\xff\xdd", struct.pack(">H", restart))
+    sos = bytearray([len(comps_spec)])
+    for k in range(len(comps_spec)):
+        sos += bytes([k + 1, 0x00])  # DC/AC table 0 for every component
+    sos += b"\x00\x3f\x00"
+    seg(b"\xff\xda", bytes(sos))
+
+    bitbuf = bytearray()
+    cur = bits = 0
+
+    def put(code, width):
+        nonlocal cur, bits
+        for i in range(width - 1, -1, -1):
+            cur = (cur << 1) | ((code >> i) & 1)
+            bits += 1
+            if bits == 8:
+                bitbuf.append(cur)
+                if cur == 0xFF:
+                    bitbuf.append(0x00)
+                cur = bits = 0
+
+    def flushbits():
+        nonlocal cur, bits
+        if bits:
+            cur = (cur << (8 - bits)) | ((1 << (8 - bits)) - 1)
+            bitbuf.append(cur)
+            if cur == 0xFF:
+                bitbuf.append(0x00)
+            cur = bits = 0
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    def emit_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    pred = [0] * len(comps_spec)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                flushbits()
+                bitbuf.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                pred = [0] * len(comps_spec)
+            for ci, (ch, cv, _tq) in enumerate(comps_spec):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        block = prepped[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        co = np.rint(dct2(block) / quant).astype(int)
+                        dc = int(co[0, 0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = cat(diff)
+                        put(*reversed(dc_code[t]))
+                        emit_val(diff, t)
+                        run = 0
+                        last_nz = 0
+                        seqv = [int(co[r][c]) for r, c in ZIGZAG]
+                        for k in range(63, 0, -1):
+                            if seqv[k]:
+                                last_nz = k
+                                break
+                        for k in range(1, last_nz + 1):
+                            v = seqv[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                put(*reversed(ac_code[0xF0]))
+                                run -= 16
+                            s = cat(v)
+                            put(*reversed(ac_code[(run << 4) | s]))
+                            emit_val(v, s)
+                            run = 0
+                        if last_nz < 63:
+                            put(*reversed(ac_code[0x00]))
+            mcu_count += 1
+    flushbits()
+    out += bitbuf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"
