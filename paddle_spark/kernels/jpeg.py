@@ -1,21 +1,27 @@
-"""Baseline JPEG decode (ITU-T T.81 / ISO 10918-1) — pure Python/NumPy.
+"""JPEG decode (ITU-T T.81 / ISO 10918-1) — pure Python/NumPy.
 
 Closes the last pixel-decode seam for the mainstream web formats:
-sequential baseline DCT (SOF0), grayscale or YCbCr, 4:4:4 / 4:2:2 /
-4:2:0 sampling, restart intervals, 8-bit quantization tables. Decoding
-is spec-faithful but NOT speed-tuned — per-bit Huffman walks in Python
-are fine for test corpora and metadata/stats paths; a throughput
-cluster should still swap in a native codec behind
-operators/multimodal.decode_real for bulk image work.
+sequential baseline DCT (SOF0) AND progressive DCT (SOF2 — spectral
+selection + successive approximation, DC/AC refinement scans, EOB runs),
+grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals,
+8/16-bit quantization tables. Decoding is spec-faithful but NOT
+speed-tuned — per-bit Huffman walks in Python are fine for test corpora
+and metadata/stats paths; a throughput cluster should still swap in a
+native codec behind operators/multimodal.decode_real for bulk image
+work.
 
-Out of scope (returns None, callers degrade): progressive (SOF2),
-arithmetic coding, 12-bit precision, 4-component CMYK/Adobe transforms.
+Out of scope (returns None, callers degrade): arithmetic coding, 12-bit
+precision, hierarchical (SOF5+), 4-component CMYK/Adobe transforms.
 
 Validation strategy (tests/test_jpeg.py): a forward encoder written
 independently against the same spec (DCT -> quantize -> canonical
 Huffman) roundtrips within quantization error; solid-color images with
-q=8 tables reconstruct EXACTLY (DC quantizes losslessly); hand-checked
-DC-only cases; fuzz never raises.
+q=8 tables reconstruct EXACTLY (DC quantizes losslessly); progressive
+decoding is pinned by COEFFICIENT-LEVEL EQUIVALENCE — a progressive
+emitter re-encodes the identical quantized coefficients as spectral
+bands and successive-approximation passes, and decode must reproduce
+the baseline pixels bit-for-bit; wild progressive files decode; fuzz
+never raises.
 """
 
 from __future__ import annotations
@@ -121,7 +127,9 @@ class _BitReader:
             v = (v << 1) | b
         return v
 
-    def decode(self, table: _Huff) -> int | None:
+    def decode(self, table: _Huff | None) -> int | None:
+        if table is None:
+            return None
         code = 0
         for length in range(1, 17):
             b = self.read_bit()
@@ -153,28 +161,52 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker(p: bytes, pos: int) -> int:
+    """Index of the next real marker (0xFF + non-0x00/non-RST) at/after
+    pos, or len(p)."""
+    n = len(p)
+    while pos + 1 < n:
+        if p[pos] == 0xFF and p[pos + 1] != 0x00 and not (
+            0xD0 <= p[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
-    """Baseline JPEG -> (H, W, 3) RGB or (H, W, 1) grayscale uint8,
-    or None when malformed / out of scope."""
+    """Baseline or progressive JPEG -> (H, W, 3) RGB or (H, W, 1)
+    grayscale uint8, or None when malformed / out of scope.
+
+    Architecture: every scan (baseline = one full-band interleaved scan;
+    progressive = many partial scans) accumulates QUANTIZED COEFFICIENTS
+    into per-component block grids; reconstruction (dequantize -> IDCT
+    -> upsample -> color) runs once at the end. This makes the two frame
+    types share one code path and lets tests pin progressive decoding by
+    coefficient-level equivalence with baseline."""
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    coeffs = None  # per component: (by, bx, 64) zigzag-order ints
+    eob_state = {"run": 0}
     dri = 0
     i = 2
     n = len(p)
     try:
-        while i + 4 <= n:
+        while i + 2 <= n:
             if p[i] != 0xFF:
                 return None
             marker = p[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
                 continue
-            if marker == 0xD9:  # EOI before scan
-                return None
+            if marker == 0xD9:  # EOI
+                break
+            if i + 4 > n:
+                break
             seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
             seg = p[i + 4 : i + 2 + seglen]
             if marker == 0xDB:  # DQT
@@ -194,10 +226,7 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
                         j += 128
                     if vals.size != 64:
                         return None
-                    tab = np.zeros((8, 8))
-                    for k, (r, c) in enumerate(ZIGZAG):
-                        tab[r, c] = vals[k]
-                    qt[tq] = tab
+                    qt[tq] = vals  # kept in zigzag order
             elif marker == 0xC4:  # DHT
                 j = 0
                 while j + 17 <= len(seg):
@@ -209,7 +238,7 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
                         return None
                     (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, symbols)
                     j += 17 + total
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -221,114 +250,280 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                     )
-                frame = {"w": w, "h": h, "comps": comps}
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                            0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types: out of scope
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                    return None
+                frame = {
+                    "w": w, "h": h, "comps": comps,
+                    "hmax": hmax, "vmax": vmax,
+                    "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
+                    "progressive": marker == 0xC2,
+                }
+                coeffs = []
+                for c in comps:
+                    by = frame["mcuy"] * c["v"]
+                    bx = frame["mcux"] * c["h"]
+                    coeffs.append(np.zeros((by, bx, 64), dtype=np.int32))
+                    # non-interleaved block grid = ceil(component dims / 8)
+                    cw = -(-(w * c["h"]) // hmax)
+                    ch2 = -(-(h * c["v"]) // vmax)
+                    c["bw"] = -(-cw // 8)
+                    c["bh"] = -(-ch2 // 8)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # lossless/arithmetic/hierarchical: out of scope
             elif marker == 0xDD:  # DRI
                 dri = struct.unpack(">H", seg[:2])[0]
-            elif marker == 0xDA:  # SOS -> entropy-coded data follows
-                if frame is None:
+            elif marker == 0xDA:  # SOS
+                if frame is None or coeffs is None:
                     return None
                 ns = seg[0]
-                scan = {}
+                scan_comps = []
                 for k in range(ns):
                     cs, tt = seg[1 + 2 * k : 3 + 2 * k]
-                    scan[cs] = (tt >> 4, tt & 0x0F)
-                return _decode_scan(
-                    p, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac, dri
+                    idx = next(
+                        (j for j, c in enumerate(frame["comps"]) if c["id"] == cs),
+                        None,
+                    )
+                    if idx is None:
+                        return None
+                    scan_comps.append((idx, tt >> 4, tt & 0x0F))
+                ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = a >> 4, a & 0x0F
+                if not frame["progressive"]:
+                    ss, se, ah, al = 0, 63, 0, 0
+                end = _decode_scan(
+                    p, i + 2 + seglen, frame, scan_comps, coeffs,
+                    huff_dc, huff_ac, dri, ss, se, ah, al,
                 )
+                i = _next_marker(p, end)
+                continue
             i += 2 + seglen
-        return None
+        if frame is None or coeffs is None:
+            return None
+        return _reconstruct(frame, coeffs, qt)
     except Exception:
         return None
 
 
-def _decode_scan(p, pos, frame, scan, qt, huff_dc, huff_ac, dri):
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
-        return None
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        if c["id"] not in scan or c["tq"] not in qt:
-            return None
-        td, ta = scan[c["id"]]
-        if td not in huff_dc or ta not in huff_ac:
-            return None
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
+def _decode_scan(p, pos, frame, scan_comps, coeffs, huff_dc, huff_ac,
+                 dri, ss, se, ah, al):
+    """Decode one entropy-coded scan into the coefficient grids; returns
+    the stream position where decoding stopped. Partial/corrupt scans
+    leave whatever decoded so far (graceful degradation)."""
+    comps = frame["comps"]
     reader = _BitReader(p, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                if not reader.sync_restart():
-                    return _finish(planes, comps, w, h, hmax, vmax)
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan[c["id"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        block = _decode_block(
-                            reader, huff_dc[td], huff_ac[ta], pred, ci
-                        )
-                        if block is None:
-                            return _finish(planes, comps, w, h, hmax, vmax)
-                        spatial = idct2(block * q)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
-    return _finish(planes, comps, w, h, hmax, vmax)
+    eob = [0]  # EOB run shared across blocks of this scan
+    pred = [0] * len(scan_comps)
+
+    def dc_first(ci_s, by, bx):
+        idx, td, _ = scan_comps[ci_s]
+        t = reader.decode(huff_dc.get(td))
+        if t is None or t > 11:
+            return False
+        diff = 0
+        if t:
+            v = reader.receive(t)
+            if v is None:
+                return False
+            diff = _extend(v, t)
+        pred[ci_s] += diff
+        coeffs[idx][by, bx, 0] = pred[ci_s] << al
+        return True
+
+    def dc_refine(ci_s, by, bx):
+        idx = scan_comps[ci_s][0]
+        b = reader.read_bit()
+        if b is None:
+            return False
+        if b:
+            coeffs[idx][by, bx, 0] |= 1 << al
+        return True
+
+    def ac_first(ci_s, by, bx):
+        idx, _, ta = scan_comps[ci_s]
+        zz = coeffs[idx][by, bx]
+        if eob[0] > 0:
+            eob[0] -= 1
+            return True
+        k = ss
+        while k <= se:
+            sym = reader.decode(huff_ac.get(ta))
+            if sym is None:
+                return False
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                run = 1 << r
+                if r:
+                    extra = reader.receive(r)
+                    if extra is None:
+                        return False
+                    run += extra
+                eob[0] = run - 1
+                return True
+            k += r
+            if k > se:
+                return False
+            v = reader.receive(s)
+            if v is None:
+                return False
+            zz[k] = _extend(v, s) << al
+            k += 1
+        return True
+
+    def ac_refine(ci_s, by, bx):
+        idx, _, ta = scan_comps[ci_s]
+        zz = coeffs[idx][by, bx]
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            """Correction bit for an already-nonzero coefficient."""
+            b = reader.read_bit()
+            if b is None:
+                return False
+            if b and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            return True
+
+        k = ss
+        if eob[0] == 0:
+            while k <= se:
+                sym = reader.decode(huff_ac.get(ta))
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        run = 1 << r
+                        if r:
+                            extra = reader.receive(r)
+                            if extra is None:
+                                return False
+                            run += extra
+                        eob[0] = run
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    b = reader.read_bit()
+                    if b is None:
+                        return False
+                    newval = p1 if b else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if not correct(k):
+                            return False
+                    else:
+                        if r == 0:
+                            if newval:
+                                zz[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eob[0] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if not correct(k):
+                        return False
+                k += 1
+            eob[0] -= 1
+        return True
+
+    if ss == 0 and se == 0:
+        block_fn = dc_refine if ah else dc_first
+    elif ss == 0:
+        # baseline full-band scan: DC then AC in one block walk
+        def block_fn(ci_s, by, bx):
+            if not dc_first(ci_s, by, bx):
+                return False
+            idx, _, ta = scan_comps[ci_s]
+            zz = coeffs[idx][by, bx]
+            k = 1
+            while k <= se:
+                sym = reader.decode(huff_ac.get(ta))
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r
+                if k > se:
+                    return False
+                v = reader.receive(s)
+                if v is None:
+                    return False
+                zz[k] = _extend(v, s)
+                k += 1
+            return True
+    else:
+        if len(scan_comps) != 1:
+            return reader.pos  # spec: AC scans are single-component
+        block_fn = ac_refine if ah else ac_first
+
+    def restart():
+        nonlocal pred
+        if not reader.sync_restart():
+            return False
+        pred = [0] * len(scan_comps)
+        eob[0] = 0
+        return True
+
+    unit = 0
+    # T.81 A.2: a scan with several components interleaves by MCU; a
+    # single-component scan walks that component's own block grid
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if dri and unit and unit % dri == 0 and not restart():
+                    return reader.pos
+                for ci_s, (idx, _, _) in enumerate(scan_comps):
+                    c = comps[idx]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            if not block_fn(
+                                ci_s, my * c["v"] + by, mx * c["h"] + bx
+                            ):
+                                return reader.pos
+                unit += 1
+    else:
+        idx = scan_comps[0][0]
+        c = comps[idx]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if dri and unit and unit % dri == 0 and not restart():
+                    return reader.pos
+                if not block_fn(0, by, bx):
+                    return reader.pos
+                unit += 1
+    return reader.pos
 
 
-def _decode_block(reader, hdc, hac, pred, ci):
-    t = reader.decode(hdc)
-    if t is None or t > 11:
-        return None
-    diff = 0
-    if t:
-        v = reader.receive(t)
-        if v is None:
-            return None
-        diff = _extend(v, t)
-    pred[ci] += diff
-    coeff = np.zeros((8, 8))
-    coeff[0, 0] = pred[ci]
-    k = 1
-    while k < 64:
-        sym = reader.decode(hac)
-        if sym is None:
-            return None
-        r, s = sym >> 4, sym & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            return None
-        v = reader.receive(s)
-        if v is None:
-            return None
-        rr, cc = ZIGZAG[k]
-        coeff[rr, cc] = _extend(v, s)
-        k += 1
-    return coeff
-
-
-def _finish(planes, comps, w, h, hmax, vmax):
+def _reconstruct(frame, coeffs, qt):
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out = []
     for ci, c in enumerate(comps):
-        plane = planes[ci] + 128.0
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]]  # zigzag order
+        grid = coeffs[ci].astype(np.float64) * q[None, None, :]
+        by, bx = grid.shape[:2]
+        blocks = np.zeros((by, bx, 8, 8))
+        for k, (r, cc) in enumerate(ZIGZAG):
+            blocks[:, :, r, cc] = grid[:, :, k]
+        # vectorized IDCT over all blocks: A.T @ X @ A
+        spatial = np.einsum("um,ijuv,vn->ijmn", _A, blocks, _A) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:  # chroma upsample by sample replication
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
