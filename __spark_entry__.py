@@ -1766,10 +1766,11 @@ FROM documents
 
 
 def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode with an EXACT oracle across THREE codecs:
+    """REAL pixel decode with an EXACT oracle across FOUR codecs:
     solid-color PNGs (filter types 0-4 cycled per row, so unfiltering is
-    load-bearing), 24-bpp BMPs, and solid-gray baseline JPEGs (quant=8
-    makes the DC path lossless — kernels/jpeg.py gets a driver-exact row
+    load-bearing), 24-bpp BMPs, LZW-compressed TIFFs (real dictionary
+    coding + strip layout), and solid-gray baseline JPEGs (quant=8 makes
+    the DC path lossless — kernels/jpeg.py gets a driver-exact row
     despite JPEG being lossy in general). Dims/colors are closed-form in
     doc_id; payloads run through kernels/pixels.py + the reference's
     frame preprocessing (3ch -> cap 128 -> BGR; model.py:328-334,
@@ -1781,7 +1782,12 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from paddle_spark.operators.multimodal import pixel_stats
-    from paddle_spark.sources.synth import make_bmp, make_jpeg, make_png
+    from paddle_spark.sources.synth import (
+        make_bmp,
+        make_jpeg,
+        make_png,
+        make_tiff,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
@@ -1794,20 +1800,20 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in ids:
                 w, h = 40 + (i * 13) % 200, 30 + (i * 17) % 200
                 color = ((i * 11) % 256, (i * 29) % 256, (i * 53) % 256)
+                solid = np.full((h, w, 3), color, dtype=np.uint8)
                 if i % 5 == 0:
-                    payloads.append(
-                        make_bmp(np.full((h, w, 3), color, dtype=np.uint8))
-                    )
+                    payloads.append(make_bmp(solid))
                 elif i % 5 == 1:
                     payloads.append(
                         make_jpeg(np.full((h, w), color[0], dtype=np.uint8))
                     )
+                elif i % 5 == 2:
+                    payloads.append(
+                        make_tiff(solid, compression="lzw", rows_per_strip=16)
+                    )
                 else:
                     payloads.append(
-                        make_png(
-                            np.full((h, w, 3), color, dtype=np.uint8),
-                            filter_types=[0, 1, 2, 3, 4],
-                        )
+                        make_png(solid, filter_types=[0, 1, 2, 3, 4])
                     )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 

@@ -252,7 +252,10 @@ def _lzw_pdf(data: bytes, early: int = 1) -> bytes | None:
             if total > 1 << 26:
                 return None  # decompression-bomb guard
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange: the width of the NEXT code grows one entry
+            # before the table fills (T.81-era convention; libtiff/PDF
+            # default early=1 -> grow when the table reaches 2^w - 1)
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return b"".join(out)
 

@@ -282,10 +282,130 @@ def decode_gif_pixels(p: bytes, frame: int = 0) -> np.ndarray | None:
     return None
 
 
+def _packbits(data: bytes) -> bytes:
+    """TIFF PackBits (spec §9): n 0..127 -> copy n+1 literals;
+    129..255 (signed -1..-127) -> repeat next byte 257-n times;
+    128 -> no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b < 128:
+            out.extend(data[i + 1 : i + 2 + b])
+            i += 2 + b
+        elif b == 128:
+            i += 1
+        else:
+            if i + 1 >= n:
+                break
+            out.extend(data[i + 1 : i + 2] * (257 - b))
+            i += 2
+    return bytes(out)
+
+
+def decode_tiff_pixels(p: bytes) -> np.ndarray | None:
+    """Baseline TIFF 6.0 -> (H, W, C) uint8: first IFD, 8 bits/sample,
+    gray (photometric 0/1) / RGB / palette, strips, compression none /
+    LZW (shared MSB-first decoder with the PDF kernel) / PackBits,
+    horizontal-differencing predictor. Tiled, planar-separate, and
+    deeper-than-8-bit files return None (degrade)."""
+    from paddle_spark.kernels.pdf import _lzw_pdf
+
+    if len(p) < 8 or p[:2] not in (b"II", b"MM"):
+        return None
+    big = p[:2] == b"MM"
+    en = ">" if big else "<"
+    if struct.unpack(en + "H", p[2:4])[0] != 42:
+        return None
+    (ifd_off,) = struct.unpack(en + "I", p[4:8])
+    if ifd_off + 2 > len(p):
+        return None
+    (count,) = struct.unpack(en + "H", p[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    for k in range(count):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(p):
+            return None
+        tag, typ, cnt = struct.unpack(en + "HHI", p[e : e + 8])
+        if typ not in _SZ:
+            continue
+        size = _SZ[typ] * cnt
+        if size <= 4:
+            raw = p[e + 8 : e + 8 + size]
+        else:
+            (off,) = struct.unpack(en + "I", p[e + 8 : e + 12])
+            raw = p[off : off + size]
+            if len(raw) < size:
+                return None
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(en + fmt * cnt, raw))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h or w * h > 1 << 26:
+        return None
+    bps = tags.get(258, [1])
+    spp = one(277, 1)
+    if spp not in (1, 3) or any(b != 8 for b in bps):
+        return None
+    comp = one(259, 1)
+    photo = one(262, 1)
+    pred = one(317, 1)
+    if comp not in (1, 5, 32773) or photo not in (0, 1, 2, 3) or pred not in (1, 2):
+        return None
+    if 322 in tags or 324 in tags:  # tiled layout
+        return None
+    if one(284, 1) != 1:  # planar-separate
+        return None
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        return None
+    rps = one(278, h)
+    row_bytes = w * spp
+    rows = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        raw = p[o : o + c]
+        if len(raw) < c:
+            return None
+        if comp == 5:
+            raw = _lzw_pdf(raw, early=1)
+            if raw is None:
+                return None
+        elif comp == 32773:
+            raw = _packbits(raw)
+        n_rows = min(rps, h - si * rps)
+        need = n_rows * row_bytes
+        if len(raw) < need:
+            return None
+        rows.append(
+            np.frombuffer(raw[:need], dtype=np.uint8).reshape(n_rows, w, spp)
+        )
+    img = np.concatenate(rows, axis=0)
+    if img.shape[0] != h:
+        return None
+    if pred == 2:  # horizontal differencing: undo by per-row cumsum
+        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+    if photo == 0:  # white-is-zero
+        img = 255 - img
+    elif photo == 3:  # palette: ColorMap is 3*2^bps 16-bit values
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            return None
+        pal = (np.array(cmap[: 3 * 256], dtype=np.uint32)
+               .reshape(3, 256).T >> 8).astype(np.uint8)
+        img = pal[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
 def decode_pixels(p: bytes | None) -> np.ndarray | None:
-    """Dispatch on container magic. PNG/BMP/GIF(first frame)/baseline
-    JPEG decode here; TIFF/WEBP pixel data (and progressive JPEG) is the
-    declared seam (header dims via raster.py)."""
+    """Dispatch on container magic. PNG/BMP/GIF(first frame)/JPEG
+    (baseline + progressive)/TIFF decode here; WEBP (VP8 entropy) is the
+    remaining declared seam (header dims via raster.py)."""
     if not p:
         return None
     try:
@@ -299,6 +419,8 @@ def decode_pixels(p: bytes | None) -> np.ndarray | None:
             from paddle_spark.kernels.jpeg import decode_jpeg_pixels
 
             return decode_jpeg_pixels(p)
+        if p[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff_pixels(p)
     except Exception:
         return None
     return None

@@ -706,6 +706,200 @@ def make_jpeg(
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (MSB-first codes, EarlyChange, CLEAR/EOD) — the
+    forward twin of the PDF/TIFF shared decoder, from the TIFF 6.0 spec."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code, width):
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((buf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # encoder grows ONE STEP LATER than the decoder (the decoder
+            # only adds the matching entry on the NEXT code it reads) —
+            # the libtiff MAXCODE(n) vs MAXCODE(n)-1 asymmetry
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(EOD, width)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits forward coder: greedy runs >=3 as repeats."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def make_tiff(
+    arr,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    palette=None,
+) -> bytes:
+    """A valid little-endian TIFF 6.0 from an (H, W[, 3]) uint8 array —
+    strip layout, compression none/lzw/packbits, optional horizontal-
+    differencing predictor, gray/RGB/palette/white-is-zero photometrics.
+    Forward twin of kernels/pixels.decode_tiff_pixels."""
+    import struct as _struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    spp = 1 if gray else a.shape[2]
+    if photometric is None:
+        photometric = 3 if palette is not None else (1 if spp == 1 else 2)
+    if photometric == 0:
+        a = 255 - a
+    rps = rows_per_strip or h
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = a[y0 : y0 + rps]
+        if predictor == 2:
+            r32 = rows.astype(np.int32)
+            # first sample of each row unchanged, then per-sample diffs
+            diff = np.diff(r32, axis=1, prepend=np.zeros_like(r32[:, :1]))
+            raw = (diff % 256).astype(np.uint8).tobytes()
+        else:
+            raw = rows.tobytes()
+        if compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+    def short(tag, v):
+        entries.append((tag, 3, 1, v))
+
+    def longv(tag, v):
+        entries.append((tag, 4, 1, v))
+
+    short(256, w)
+    short(257, h)
+    if spp == 3:
+        entries.append((258, 3, 3, [8, 8, 8]))
+    else:
+        short(258, 8)
+    short(259, comp_id)
+    short(262, photometric)
+    n_strips = len(strips)
+    entries.append((273, 4, n_strips, None))  # offsets patched later
+    short(277, spp)
+    short(278, rps)
+    entries.append((279, 4, n_strips, [len(s) for s in strips]))
+    if predictor == 2:
+        short(317, predictor)
+    if photometric == 3:
+        pal = np.asarray(palette, dtype=np.uint16)
+        cmap = np.zeros((3, 256), dtype=np.uint16)
+        cmap[:, : pal.shape[0]] = (pal.T.astype(np.uint16)) << 8
+        entries.append((320, 3, 3 * 256, list(cmap.reshape(-1))))
+    entries.sort(key=lambda e: e[0])
+
+    _SZ = {3: 2, 4: 4}
+    header = b"II*\x00" + _struct.pack("<I", 8)
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_len
+    # lay out out-of-line values, then strip data
+    packed = []
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            packed.append((tag, typ, cnt, None))
+            continue
+        vals = val if isinstance(val, list) else [val]
+        size = _SZ[typ] * cnt
+        fmt = "<" + ("H" if typ == 3 else "I") * cnt
+        blob = _struct.pack(fmt, *vals)
+        if size <= 4:
+            packed.append((tag, typ, cnt, blob.ljust(4, b"\x00")))
+        else:
+            packed.append((tag, typ, cnt, ("off", len(extra))))
+            extra.extend(blob)
+    strip_area = extra_base + len(extra)
+    # strip offsets table (or inline when one strip)
+    offsets = []
+    pos = strip_area
+    if n_strips > 1:
+        pos += 4 * n_strips
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    out = bytearray(header)
+    out += _struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in packed:
+        out += _struct.pack("<HHI", tag, typ, cnt)
+        if tag == 273:
+            if n_strips == 1:
+                out += _struct.pack("<I", offsets[0])
+            else:
+                out += _struct.pack("<I", strip_area)
+        elif isinstance(val, tuple):
+            out += _struct.pack("<I", extra_base + val[1])
+        else:
+            out += val
+    out += _struct.pack("<I", 0)  # next IFD
+    out += extra
+    if n_strips > 1:
+        out += _struct.pack("<" + "I" * n_strips, *offsets)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def make_garbage(rng: random.Random) -> bytes:
     n = rng.randint(8, 64)
     return bytes(rng.randint(0, 255) for _ in range(n)) + b"\x00TRUNC"

@@ -272,3 +272,67 @@ def test_gif_multi_frame_decode():
     for k, f in enumerate(frames):
         assert np.array_equal(decode_gif_pixels(gif, frame=k), pal[f]), k
     assert decode_gif_pixels(gif, frame=9) is None  # past the end
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("gray", [True, False])
+def test_tiff_roundtrip(compression, gray):
+    from paddle_spark.kernels.pixels import decode_tiff_pixels
+    from paddle_spark.sources.synth import make_tiff
+
+    shape = (21, 33) if gray else (21, 33, 3)
+    arr = _rand(shape, seed=51 if gray else 52)
+    got = decode_tiff_pixels(make_tiff(arr, compression=compression))
+    assert got is not None
+    want = arr[:, :, None] if gray else arr
+    assert np.array_equal(got, want), compression
+
+
+def test_tiff_predictor_strips_photometrics():
+    from paddle_spark.kernels.pixels import decode_tiff_pixels
+    from paddle_spark.sources.synth import make_tiff
+
+    arr = _rand((37, 29, 3), seed=53)
+    # horizontal-differencing predictor + LZW + multi-strip
+    t = make_tiff(arr, compression="lzw", predictor=2, rows_per_strip=10)
+    assert np.array_equal(decode_tiff_pixels(t), arr)
+    # white-is-zero grayscale inverts back to the original
+    g = _rand((10, 12), seed=54)
+    t0 = make_tiff(g, photometric=0)
+    assert np.array_equal(decode_tiff_pixels(t0), g[:, :, None])
+    # palette image expands through the 16-bit ColorMap
+    pal = _rand((16, 3), seed=55)
+    idx = _rand((9, 14, 1), seed=56)[:, :, 0] % 16
+    tp = make_tiff(idx, palette=pal)
+    assert np.array_equal(decode_tiff_pixels(tp), pal[idx])
+
+
+def test_tiff_lzw_run_heavy_growth():
+    """Run-heavy data drives the dictionary through width growth and the
+    4096 reset; EarlyChange boundary (511/1023/2047) must align."""
+    from paddle_spark.kernels.pixels import decode_tiff_pixels
+    from paddle_spark.sources.synth import make_tiff
+
+    arr = (np.arange(240 * 100) % 251).reshape(240, 100).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff_pixels(make_tiff(arr, compression="lzw")), arr[:, :, None]
+    )
+
+
+def test_tiff_out_of_scope_and_fuzz():
+    from paddle_spark.kernels.pixels import decode_tiff_pixels
+    from paddle_spark.sources.synth import make_tiff
+
+    arr = _rand((8, 8), seed=57)
+    base = make_tiff(arr, compression="lzw")
+    assert decode_pixels(base) is not None    # magic dispatch
+    assert decode_tiff_pixels(b"II*\x00\xff\xff\xff\xff") is None
+    import random
+
+    rng = random.Random(58)
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        out = decode_pixels(bytes(b))
+        assert out is None or isinstance(out, np.ndarray)
