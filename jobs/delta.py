@@ -32,13 +32,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0)
     args = ap.parse_args(argv)
-    out_norm = os.path.normpath(os.path.abspath(args.output))
-    if out_norm in (
-        os.path.normpath(os.path.abspath(args.prev)),
-        os.path.normpath(os.path.abspath(args.input_new)),
-    ):
-        ap.error("--output must differ from --prev/--input-new "
-                 "(read-and-overwrite of the same path corrupts the input)")
+    out_norm = os.path.normpath(os.path.realpath(args.output))
+    for other in (args.prev, args.input_new):
+        o_norm = os.path.normpath(os.path.realpath(other))
+        # reject equality AND ancestry in either direction: a static
+        # overwrite of an ancestor deletes the input tree recursively
+        if (
+            out_norm == o_norm
+            or o_norm.startswith(out_norm + os.sep)
+            or out_norm.startswith(o_norm + os.sep)
+        ):
+            ap.error(
+                "--output must not equal or nest with --prev/--input-new "
+                "(static overwrite would delete the input)"
+            )
 
     from pyspark.sql import SparkSession
 

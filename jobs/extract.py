@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         salt=args.salt,
         max_pages_per_doc=args.max_pages_per_doc,
+        # WET conversion records carry pre-extracted text; only archive
+        # ingestion opts into reading the text column
+        wet_passthrough=bool(args.input_warc),
     )
 
     if args.gen:

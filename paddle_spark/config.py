@@ -131,6 +131,11 @@ class ExtractConfig:
     # substring raises at the TASK level (not per-doc), simulating an
     # executor/job crash (the per-doc try/except must not see it)
     fail_batch_marker: str | None = None
+    # WET ingestion: pass pre-extracted `text` (html null) through as
+    # branch='wet' rows. OPT-IN because it forces the scan to read the
+    # text column — the default plan keeps the F1 pruning invariant
+    # (ReadSchema excludes text).
+    wet_passthrough: bool = False
 
     def layout_threshold(self, label_id: int) -> float:
         return LAYOUT_THRESHOLDS.get(label_id, 0.5)

@@ -191,7 +191,6 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
     huff_ac: dict[int, _Huff] = {}
     frame = None
     coeffs = None  # per component: (by, bx, 64) zigzag-order ints
-    eob_state = {"run": 0}
     dri = 0
     i = 2
     n = len(p)
@@ -200,6 +199,9 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
             if p[i] != 0xFF:
                 return None
             marker = p[i + 1]
+            if marker == 0xFF:  # fill bytes before a marker (T.81 B.1.1.2)
+                i += 1
+                continue
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
                 continue
@@ -242,7 +244,9 @@ def decode_jpeg_pixels(p: bytes) -> np.ndarray | None:
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     return None
-                if w * h > 1 << 26:
+                # tighter than the PNG cap: coefficient grids + slab-wise
+                # IDCT intermediates cost ~30 bytes/px/component
+                if w * h > 1 << 25:
                     return None
                 comps = []
                 for k in range(nc):
@@ -516,14 +520,20 @@ def _reconstruct(frame, coeffs, qt):
         if c["tq"] not in qt:
             return None
         q = qt[c["tq"]]  # zigzag order
-        grid = coeffs[ci].astype(np.float64) * q[None, None, :]
-        by, bx = grid.shape[:2]
-        blocks = np.zeros((by, bx, 8, 8))
-        for k, (r, cc) in enumerate(ZIGZAG):
-            blocks[:, :, r, cc] = grid[:, :, k]
-        # vectorized IDCT over all blocks: A.T @ X @ A
-        spatial = np.einsum("um,ijuv,vn->ijmn", _A, blocks, _A) + 128.0
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        by, bx = coeffs[ci].shape[:2]
+        plane = np.empty((by * 8, bx * 8))
+        # slab-wise IDCT (A.T @ X @ A vectorized per 64 block-rows) so
+        # intermediates stay bounded on large images
+        slab = 64
+        for y0 in range(0, by, slab):
+            grid = coeffs[ci][y0 : y0 + slab].astype(np.float64) * q[None, None, :]
+            blocks = np.zeros((*grid.shape[:2], 8, 8))
+            for k, (r, cc) in enumerate(ZIGZAG):
+                blocks[:, :, r, cc] = grid[:, :, k]
+            spatial = np.einsum("um,ijuv,vn->ijmn", _A, blocks, _A) + 128.0
+            plane[y0 * 8 : (y0 + grid.shape[0]) * 8] = spatial.transpose(
+                0, 2, 1, 3
+            ).reshape(grid.shape[0] * 8, bx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:  # chroma upsample by sample replication
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

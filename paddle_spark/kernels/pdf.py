@@ -42,7 +42,9 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[([^\]]*)\])")
 _FILTER_NAME_RE = re.compile(rb"/(\w+)")
 _EARLY_RE = re.compile(rb"/EarlyChange\s+(\d)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the full number so backtracking can't shorten '/Length 50
+# 0 R' into a direct length of 5 before the indirect-ref lookahead runs
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _EOL_ENDSTREAM_RE = re.compile(rb"(\r\n|\r|\n)?endstream")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
@@ -346,12 +348,28 @@ def _page_order(objs: dict[int, bytes], data: bytes) -> list[int] | None:
 
 def _dict_region(body: bytes, at: int) -> bytes | None:
     """The balanced ``<< ... >>`` region starting at the first ``<<`` at or
-    after ``at`` (hex strings can't contain ``<<``, so depth is exact)."""
+    after ``at``. Literal ``(...)`` strings are skipped while counting
+    (a string value like ``(a>>b)`` must not close the dict early); hex
+    strings can't contain ``<<``, so depth stays exact."""
     start = body.find(b"<<", at)
     if start < 0:
         return None
     depth, i, n = 0, start, len(body)
-    while i < n - 1:
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # '(' — skip the literal string, honoring escapes
+            pdepth = 1
+            i += 1
+            while i < n and pdepth:
+                if body[i] == 0x5C:  # backslash escape
+                    i += 2
+                    continue
+                if body[i] == 0x28:
+                    pdepth += 1
+                elif body[i] == 0x29:
+                    pdepth -= 1
+                i += 1
+            continue
         two = body[i : i + 2]
         if two == b"<<":
             depth += 1

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
 from paddle_spark.functions import url_bucket_col
-from paddle_spark.kernels.extract import extract_document
+from paddle_spark.kernels.extract import extract_document, sha256_text
 
 # Output schema = the `extracted` table (SURVEY.md §1.2).
 EXTRACTED_SCHEMA = T.StructType(
@@ -55,7 +55,7 @@ EXTRACTED_SCHEMA = T.StructType(
     ]
 )
 
-_IN_COLS = ["url", "warc_ts", "html", "lang", "bucket", "payload_xxh"]
+_IN_COLS = ["url", "warc_ts", "html", "wet_text", "lang", "bucket", "payload_xxh"]
 
 
 def make_extract_batch(cfg: ExtractConfig):
@@ -87,7 +87,24 @@ def make_extract_batch(cfg: ExtractConfig):
                 "error": [None] * n,
             }
             payloads = pdf["html"].to_numpy()
+            # wet_text only exists when the caller opted into WET
+            # passthrough (streaming/extract_stream feeds html-only)
+            wet = (
+                pdf["wet_text"].to_numpy()
+                if "wet_text" in pdf.columns
+                else [None] * n
+            )
             for i in range(n):
+                if payloads[i] is None and wet[i] is not None:
+                    # WET conversion record: the text IS the extraction
+                    # output (Common Crawl pre-extracted it) — pass it
+                    # through verbatim instead of failing on a null
+                    # payload, with the same digest convention
+                    out["text"][i] = wet[i]
+                    out["text_sha256"][i] = sha256_text(wet[i])
+                    out["parse_ok"][i] = True
+                    out["branch"][i] = "wet"
+                    continue
                 r = extract_document(payloads[i], cfg)
                 out["text"][i] = r.text
                 out["text_sha256"][i] = r.text_sha256
@@ -113,15 +130,31 @@ def extract_pages(
     repartition width is the parallelism knob.
     """
     n_parts = n_partitions or cfg.n_buckets
+    # WET conversion rows (html null, text pre-extracted by the crawl)
+    # pass through the kernel stage verbatim when cfg.wet_passthrough;
+    # their lineage hash keys on the text bytes so delta extraction
+    # still detects changes. Off by default: reading `text` would break
+    # the F1 column-pruning invariant for ordinary corpora.
+    use_wet = cfg.wet_passthrough and "text" in pages.columns
+    wet_text = (
+        F.when(F.col("html").isNull(), F.col("text"))
+        if use_wet
+        else F.lit(None).cast("string")
+    )
     src = pages.select(
         "url",
         "warc_ts",
         "html",
+        wet_text.alias("wet_text"),
         "lang",
         url_bucket_col(F.col("url"), cfg.n_buckets, cfg.salt).alias("bucket"),
-        # JVM-side input hash (xxhash64 of the raw payload) rides through
+        # JVM-side input hash (xxhash64 of the raw input) rides through
         # the kernel untouched: input lineage + delta-extraction key
-        F.xxhash64("html").alias("payload_xxh"),
+        F.xxhash64(
+            F.coalesce(F.col("html"), F.encode(wet_text, "utf-8"))
+            if use_wet
+            else F.col("html")
+        ).alias("payload_xxh"),
     )
     # The one shuffle: salted url-hash. Bucket count (lineage granularity)
     # and partition count (parallelism) are decoupled on purpose.

@@ -259,7 +259,11 @@ def frame_sample(
                         if img is None:
                             continue
                         h, w = img.shape[:2]
-                        m = img.reshape(-1, img.shape[2]).mean(axis=0)
+                        # gray / gray+alpha frames normalize to 3 channels
+                        # first, so 1-channel decodes report means too
+                        from paddle_spark.kernels.pixels import to_3ch
+
+                        m = to_3ch(img).reshape(-1, 3).mean(axis=0)
                         rows.append(
                             (
                                 int(mid), int(fno), int(w), int(h),

@@ -66,21 +66,36 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.normal(size=(n_planes, dim)).round(6).tolist()
 
 
-def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplane projections, JVM-side:
-    bucket = sum_j (dot(v, p_j) > 0) << j."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
+def _plane_dots(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """dot(vec, plane_j) for every hyperplane, JVM-side."""
+    dots = []
+    for plane in planes:
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dots.append(
+            F.aggregate(
+                F.zip_with(vec, lit_plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         )
+    return dots
+
+
+def _bucket_from_dots(dots: list[Column]) -> Column:
+    """Sign-bit fold: bucket = sum_j (dot_j > 0) << j. The SINGLE home of
+    the bit convention — multi-probe reuses the same dot columns, so
+    corpus buckets and query probe buckets can never desynchronize."""
+    bucket = F.lit(0).cast("long")
+    for j, dot in enumerate(dots):
         bucket = bucket + F.when(
             dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections, JVM-side."""
+    return _bucket_from_dots(_plane_dots(vec, planes))
 
 
 def lsh_topk(
@@ -115,21 +130,8 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
     )
-    dots = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dots.append(
-            F.aggregate(
-                F.zip_with(F.col("qv"), lit_plane, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-    base = F.lit(0).cast("long")
-    for j, dot in enumerate(dots):
-        base = base + F.when(
-            dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
+    dots = _plane_dots(F.col("qv"), planes)
+    base = _bucket_from_dots(dots)
     if n_probe > 1:
         # planes sorted by |margin| ascending; flip the weakest first
         margins = F.array_sort(

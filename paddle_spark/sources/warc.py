@@ -84,16 +84,11 @@ def _warc_ts(value: str | None):
         return None
 
 
-def iter_warc_records(data: bytes):
-    """Yield (headers: dict, payload: bytes) per WARC record. Total
-    function over malformed input — stops at the first unparseable
-    boundary instead of raising (partial files happen in the wild)."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = _gunzip_members(data)
-        except zlib.error:
-            return
-    stream = io.BytesIO(data)
+def _iter_records_stream(stream):
+    """Yield (headers: dict, payload: bytes) per WARC record from a
+    binary stream, reading one record at a time (bounded memory). Total
+    over malformed input — stops at the first unparseable boundary
+    instead of raising (partial files happen in the wild)."""
     while True:
         # skip inter-record CRLFs
         line = stream.readline()
@@ -120,6 +115,33 @@ def iter_warc_records(data: bytes):
         if len(payload) < length:
             return  # truncated file: drop the partial record
         yield headers, payload
+
+
+def iter_warc_records(data: bytes):
+    """Bytes-API record iterator (test-scale; decompresses up front)."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _gunzip_members(data)
+        except zlib.error:
+            return
+    yield from _iter_records_stream(io.BytesIO(data))
+
+
+def iter_warc_records_path(path: str):
+    """STREAMING record iterator over a file path: .warc.gz goes through
+    gzip.GzipFile (multi-member transparent), so only one record's bytes
+    are resident at a time — the production shape for ~1 GB CC archives."""
+    import gzip
+
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            f.seek(0)
+            yield from _iter_records_stream(
+                io.BufferedReader(gzip.GzipFile(fileobj=f))
+            )
+        else:
+            f.seek(0)
+            yield from _iter_records_stream(f)
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -178,23 +200,30 @@ def _http_body(payload: bytes) -> bytes:
     return body
 
 
+def _record_to_row(headers: dict, payload: bytes):
+    """One WARC record -> a pages row, or None for non-page records.
+    ``response`` records (raw page behind an HTTP envelope) fill
+    ``html``; ``conversion`` records (WET: Common Crawl's pre-extracted
+    UTF-8 text) fill ``text`` instead — the same table shape serves both
+    distribution formats."""
+    wtype = headers.get("warc-type")
+    url = headers.get("warc-target-uri")
+    ts = _warc_ts(headers.get("warc-date"))
+    if wtype == "response":
+        return (url, ts, _http_body(payload), None, None)
+    if wtype == "conversion":  # WET text record
+        return (url, ts, None, payload.decode("utf-8", errors="replace"), None)
+    return None
+
+
 def warc_records_to_rows(data: bytes) -> list[tuple]:
     """(url, warc_ts, html, text, lang) rows from one WARC/WET file's
-    bytes. ``response`` records (WARC: raw page behind an HTTP envelope)
-    fill ``html``; ``conversion`` records (WET: Common Crawl's
-    pre-extracted UTF-8 text) fill ``text`` instead — the same table shape
-    serves both distribution formats."""
+    bytes (test-scale API; the streaming path is iter_warc_records_path)."""
     rows = []
     for headers, payload in iter_warc_records(data):
-        wtype = headers.get("warc-type")
-        url = headers.get("warc-target-uri")
-        ts = _warc_ts(headers.get("warc-date"))
-        if wtype == "response":
-            rows.append((url, ts, _http_body(payload), None, None))
-        elif wtype == "conversion":  # WET text record
-            rows.append(
-                (url, ts, None, payload.decode("utf-8", errors="replace"), None)
-            )
+        row = _record_to_row(headers, payload)
+        if row is not None:
+            rows.append(row)
     return rows
 
 
@@ -243,23 +272,33 @@ def read_warc_pages(
     return files.mapInPandas(fan_out, schema=PAGES_SCHEMA)
 
 
-def warc_paths_to_pages(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Path-per-row variant: workers open files themselves (streaming from
-    local/posix storage), so a 1 GB archive never rides through a row."""
+def warc_paths_to_pages(
+    spark: SparkSession, paths: list[str], rows_per_batch: int = 2048
+) -> DataFrame:
+    """Path-per-row PRODUCTION variant: each worker STREAMS its archive
+    (gzip member by member, one record resident at a time) and emits page
+    rows in bounded ``rows_per_batch`` chunks — peak memory per task is
+    one record plus one output batch, never the 1 GB archive or its
+    multi-GB decompressed form."""
     src = spark.createDataFrame([(p,) for p in paths], "path string")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def fan_out(batches):
         for pdf in batches:
-            rows: list[tuple] = []
             for p in pdf["path"]:
+                rows: list[tuple] = []
                 try:
-                    with open(p, "rb") as f:
-                        rows.extend(warc_records_to_rows(f.read()))
-                except Exception:  # per-file isolation
-                    continue
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                    for headers, payload in iter_warc_records_path(p):
+                        row = _record_to_row(headers, payload)
+                        if row is not None:
+                            rows.append(row)
+                        if len(rows) >= rows_per_batch:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except Exception:  # per-file isolation: keep prior chunks
+                    pass
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return src.repartition(max(len(paths), 1)).mapInPandas(
         fan_out, schema=PAGES_SCHEMA

@@ -406,3 +406,12 @@ def test_progressive_smooth_image_equivalence():
     base = decode_jpeg_pixels(make_jpeg(img, quant=2))
     prog = decode_jpeg_pixels(_make_progressive(img, quant=2))
     assert np.array_equal(base, prog)
+
+
+def test_fill_bytes_before_markers():
+    """Repeated 0xFF padding before a marker (T.81 B.1.1.2) is legal and
+    must be skipped, not parsed as a segment."""
+    img = _rand((12, 9), seed=91)
+    base = make_jpeg(img)
+    padded = base[:2] + b"\xff" * 3 + base[2:]  # fill before first DQT
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(base))

@@ -106,3 +106,19 @@ def test_frame_sample_fanout_and_isolation(spark):
     assert (got[(0, 0)]["mean_r"], got[(0, 0)]["mean_g"]) == (10.0, 20.0)
     assert got[(0, 2)]["mean_b"] == 3.0
     assert got[(1, 0)]["mean_r"] == 7.0 and got[(1, 0)]["width"] == 5
+
+
+def test_frame_sample_grayscale_payloads(spark):
+    """1-channel decodes (gray PNG/JPEG) report means too — they repeat
+    to 3 channels instead of being silently dropped."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_jpeg, make_png
+
+    g = np.full((8, 10), 77, dtype=np.uint8)
+    rows = [(0, bytearray(make_png(g))), (1, bytearray(make_jpeg(g)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in MM.frame_sample(media).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (77.0, 77.0, 77.0)

@@ -177,3 +177,65 @@ def test_wet_conversion_records():
     assert len(rows) == 3
     assert sum(1 for r in rows if r[2] is not None) == 2
     assert sum(1 for r in rows if r[3] is not None) == 1
+
+
+def test_wet_rows_flow_through_extract_pages(spark, tmp_path):
+    """WET conversion records (pre-extracted text, html null) pass
+    through extraction verbatim as branch='wet' rows — a .wet.gz fed to
+    jobs/extract.py --input-warc must not yield an empty corpus."""
+    from paddle_spark.kernels.extract import sha256_text
+    from paddle_spark.operators.extract_job import extract_pages
+
+    texts = {f"https://ex.org/w{i}": f"Pre-extracted text {i}.\nLine two é {i}."
+             for i in range(12)}
+    wet = b""
+    for url, text in texts.items():
+        body = text.encode("utf-8")
+        wet += (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+    p = tmp_path / "x.wet.gz"
+    import gzip
+    p.write_bytes(gzip.compress(wet))
+    from paddle_spark.operators.extract_job import with_config
+
+    pages = warc_paths_to_pages(spark, [str(p)])
+    cfg = with_config(wet_passthrough=True)
+    out = {r["url"]: r for r in extract_pages(pages, cfg, n_partitions=2).collect()}
+    assert len(out) == 12
+    for url, text in texts.items():
+        r = out[url]
+        assert r["parse_ok"] and r["branch"] == "wet"
+        assert r["text"] == text
+        assert r["text_sha256"] == sha256_text(text)
+        assert r["payload_xxh"] is not None
+
+
+def test_streaming_path_iterator_matches_bytes_api(tmp_path):
+    """iter_warc_records_path (streaming, gzip member-by-member) yields
+    exactly the rows of the in-memory API, and chunked fan-out batches
+    cover every record."""
+    from paddle_spark.sources.warc import _record_to_row, iter_warc_records_path
+
+    recs = _records(30)
+    p1 = tmp_path / "s.warc.gz"
+    p1.write_bytes(make_warc(recs, gz=True))
+    via_stream = [
+        _record_to_row(h, pl) for h, pl in iter_warc_records_path(str(p1))
+    ]
+    via_bytes = warc_records_to_rows(p1.read_bytes())
+    assert via_stream == via_bytes and len(via_stream) == 30
+
+
+def test_paths_variant_chunks_output(spark, tmp_path):
+    """rows_per_batch bounds each yielded Arrow batch without losing rows."""
+    recs = _records(25)
+    p = tmp_path / "c.warc"
+    p.write_bytes(make_warc(recs))
+    df = warc_paths_to_pages(spark, [str(p)], rows_per_batch=7)
+    assert df.count() == 25
+    assert df.select("url").distinct().count() == 25
