@@ -56,9 +56,10 @@ def extract_document(
             # No OCR stack in this runtime, so an image carries no text —
             # but the container header is decodable in pure Python
             # (kernels/raster.py): a well-formed image is a SUCCESSFUL
-            # zero-block extraction, not a failure. Full pixel decode
-            # remains the declared swap point (multimodal.decode_real;
-            # reference: PIL frame iteration, model.py:339-368).
+            # zero-block extraction, not a failure. (Pixel-level work
+            # lives in kernels/pixels.py via multimodal.pixel_stats; the
+            # OCR/detector stage stays the swap point — reference: PIL
+            # frame iteration, model.py:339-368.)
             from paddle_spark.kernels.raster import decode_image_header
 
             meta = decode_image_header(payload)

@@ -7,10 +7,11 @@ is a strided memory view — both decode here bit-exactly. The channel ops
 re-express the reference's preprocessing (gray -> 3ch repeat, alpha drop,
 RGB -> BGR, largest-dimension downscale cap with bilinear resampling;
 /root/reference/server/model_repo/layout-parsing/1/model.py:328-334,
-:355-364). GIF first frames decode too (LZW per the GIF89a spec,
-interlacing undone). JPEG (DCT entropy decode) pixel data is the one
-remaining declared seam — its header dims still come from
-kernels/raster.py, and ``decode_pixels`` returns None so callers degrade.
+:355-364). GIF frames decode too (LZW per the GIF89a spec, interlacing
+undone), as do JPEG (kernels/jpeg.py, baseline + progressive) and TIFF
+(strips/LZW/PackBits below). WEBP (VP8 entropy) is the one remaining
+declared seam — its header dims still come from kernels/raster.py, and
+``decode_pixels`` returns None so callers degrade.
 
 Scope (graceful degradation, never an exception escaping decode_pixels):
 - PNG: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+

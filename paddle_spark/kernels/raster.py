@@ -2,10 +2,11 @@
 
 The reference iterates image frames through PIL with a 6000-px downscale
 cap (/root/reference/server/model_repo/layout-parsing/1/model.py:339-368,
-:34). This runtime has no PIL, so full pixel decode stays the declared
-swap point (operators/multimodal.decode_real) — but the container headers
-of every mainstream format carry dimensions and frame counts in plain
-bytes, which is all the metadata path and the extraction branch need.
+:34). This module is the cheap HEADER path: dimensions and frame counts
+from plain container bytes, which is all the metadata path and the
+extraction branch need. Full pixel decode lives in kernels/pixels.py and
+kernels/jpeg.py (PNG/BMP/GIF/JPEG/TIFF); WEBP pixels stay with the
+declared swap point (operators/multimodal.decode_real).
 Formats: PNG, GIF (with frame walk), JPEG (SOF scan), TIFF (IFD chain),
 BMP, WEBP (VP8X). Returns None for anything unrecognized/truncated —
 callers degrade, never raise.

@@ -3,13 +3,15 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, Arrow batch shape, mapInPandas signatures,
 partitioning) is real and tested. Since round 3, PIXEL-LEVEL decode is
-real for PNG and BMP (kernels/pixels.py — pure zlib/NumPy) and feeds
-``pixel_stats`` with the reference's channel preprocessing (gray -> 3ch,
-alpha drop, downscale cap, RGB -> BGR). Only JPEG/GIF entropy decode and
-audio/video remain the declared seam: ``decode_real`` raises
-``NotImplementedError`` behind an import-try — the swap point for
-PIL/ffmpeg on a real cluster — and the deterministic fake stands in for
-feature vectors.
+real for PNG, BMP, GIF (per-frame LZW), JPEG (baseline + progressive)
+and TIFF (kernels/pixels.py + kernels/jpeg.py — pure zlib/NumPy) and
+feeds ``pixel_stats`` / ``frame_sample`` with the reference's channel
+preprocessing (gray -> 3ch, alpha drop, downscale cap, RGB -> BGR).
+Only WEBP (VP8 entropy) and audio/video remain the declared seam:
+``decode_real`` raises ``NotImplementedError`` behind an import-try —
+the swap point for PIL/ffmpeg on a real cluster (also the bulk-
+throughput alternative to the correctness-first Python codecs) — and
+the deterministic fake stands in for neural feature vectors.
 
 Reference analog: the blip-caption backend's batched execute loop
 (/root/reference/server/model_repo/blip-caption/1/model.py:226-292 —
@@ -86,8 +88,9 @@ def decode_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
 
     When the payload is a recognizable image container, width/height/
     n_frames come from the REAL header (kernels/raster.py — PNG/GIF/JPEG/
-    TIFF/BMP/WEBP); only the pixel-level feature vector stays
-    digest-derived (the declared PIL swap point)."""
+    TIFF/BMP/WEBP); only the feature vector stays digest-derived (the
+    neural-embedding swap point — real pixel stats live in
+    ``pixel_stats``)."""
     from paddle_spark.kernels.raster import decode_image_header
 
     d = hashlib.sha256(payload or b"").digest()
@@ -147,13 +150,14 @@ def pixel_stats(
     payload_col: str = "payload",
     max_dim: int = 6000,
 ) -> DataFrame:
-    """REAL pixel decode (PNG/BMP, kernels/pixels.py) through the
-    reference's frame preprocessing — 3-channel normalize, largest-dim
-    downscale cap, RGB->BGR (model.py:328-334, :355-364) — then
-    per-channel means of the processed frame. Arrow-batched mapInPandas
-    with per-item isolation (T5): undecodable payloads (JPEG/GIF entropy
-    data = the declared seam, or garbage) yield decode_ok=false rows,
-    never task failures."""
+    """REAL pixel decode (PNG/BMP/GIF/JPEG/TIFF, kernels/pixels.py +
+    kernels/jpeg.py) through the reference's frame preprocessing —
+    3-channel normalize, largest-dim downscale cap, RGB->BGR
+    (model.py:328-334, :355-364) — then per-channel means of the
+    processed frame. Arrow-batched mapInPandas with per-item isolation
+    (T5): undecodable payloads (WEBP = the declared seam, out-of-scope
+    variants, or garbage) yield decode_ok=false rows, never task
+    failures."""
     from paddle_spark.kernels.pixels import decode_pixels, preprocess_frame
 
     src = media.select(
