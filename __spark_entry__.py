@@ -1421,11 +1421,14 @@ FROM (
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: hyperplane hashing)."""
+    """LSH-bucketed approximate top-k with multi-probe (n_probe=2: the
+    weakest-margin Hamming-1 bucket probes too). Rows-only by design
+    (hyperplane hashing); the exact twin is ann_lsh_planted, and the
+    recall-vs-probe curve is pinned by test_similarity."""
     from paddle_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6)
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6, n_probe=2)
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
