@@ -159,7 +159,10 @@ def main() -> None:
     docs_per_sec = BENCH_DOCS / extract_sec
 
     # --- headline operator queries at the sf dir (warm + best-of-2) ---
-    queries = entrymod.queries()
+    # resolve by function name, not registry key: several single-operator
+    # demos are consolidated into suite registry entries, but the bench
+    # keeps timing the underlying frames for cross-round comparability
+    queries = {name: getattr(entrymod, f"q_{name}") for name in HEADLINE}
     for name in HEADLINE:
         force(queries[name](spark, SF_DIR))
         timings[name] = round(timed_best(lambda: queries[name](spark, SF_DIR)), 3)

@@ -31,6 +31,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument(
+        "--wet", dest="wet", action="store_true", default=None,
+        help="snapshot contains WET conversion rows (html null, text "
+             "pre-extracted): key the delta on the WET lineage hash and "
+             "pass conversion rows through. Default: auto-detect (one "
+             "cheap null-html probe when the schema has a text column).",
+    )
+    ap.add_argument("--no-wet", dest="wet", action="store_false",
+                    help="force WET handling off (skip the auto-probe)")
     args = ap.parse_args(argv)
     out_norm = os.path.normpath(os.path.realpath(args.output))
     for other in (args.prev, args.input_new):
@@ -62,11 +71,26 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
-    cfg = ExtractConfig(n_buckets=args.n_buckets, salt=args.salt)
 
     pages_new = spark.read.parquet(args.input_new)
     prev = spark.read.parquet(args.prev)
-    stats = delta_stats(pages_new, prev)
+    wet = args.wet
+    if wet is None:
+        # auto-detect: WET handling matters only when conversion rows
+        # (html null, text set) exist. One pushed-down IsNotNull-inverted
+        # probe with limit 1 — footer stats prune most files.
+        from pyspark.sql import functions as F
+
+        wet = (
+            "text" in pages_new.columns
+            and "html" in pages_new.columns
+            and pages_new.filter(F.col("html").isNull()).limit(1).count() > 0
+        )
+    cfg = ExtractConfig(
+        n_buckets=args.n_buckets, salt=args.salt, wet_passthrough=wet
+    )
+    stats = delta_stats(pages_new, prev, wet=wet)
+    stats["wet"] = bool(wet)
     merged = delta_extract(pages_new, prev, cfg, args.n_partitions)
     # STATIC overwrite (not dynamic): the merged frame IS the complete new
     # snapshot, so every old partition must go — with dynamic mode a bucket

@@ -473,9 +473,16 @@ def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     y1 = np.minimum(y0 + 1, h - 1)
     fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
     fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    im = img.astype(np.float64)
-    top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
-    bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+    # gather the four neighbor grids from the uint8 source FIRST and only
+    # then widen to float64: peak extra memory is ~4 output-sized float
+    # slabs, not an 8x full-source copy (at the 2^26-pixel decode cap a
+    # full float64 copy alone would be ~1.6 GB per task)
+    a = img[np.ix_(y0, x0)].astype(np.float64)
+    b = img[np.ix_(y0, x1)].astype(np.float64)
+    c = img[np.ix_(y1, x0)].astype(np.float64)
+    d = img[np.ix_(y1, x1)].astype(np.float64)
+    top = a * (1 - fx) + b * fx
+    bot = c * (1 - fx) + d * fx
     out = top * (1 - fy) + bot * fy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 

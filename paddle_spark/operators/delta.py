@@ -21,13 +21,29 @@ row-for-row (pinned by test_delta).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
 from paddle_spark.operators.extract_job import extract_pages
 
 _KEY = ["url", "payload_xxh"]
+
+
+def payload_key_col(pages: DataFrame, wet: bool) -> Column:
+    """The input-lineage key, EXACTLY mirroring how extract_pages stores
+    ``payload_xxh`` (operators/extract_job.py): plain ``xxhash64(html)``
+    normally; with WET passthrough, null-html conversion rows key on the
+    pre-extracted text bytes. Without this parity, unchanged WET rows
+    (html null → xxhash64(NULL) is a constant) would never match their
+    previous output — every delta run would re-extract them — and
+    distinct-text WET rows sharing a url would collapse under the
+    constant hash."""
+    use_wet = wet and "text" in pages.columns
+    if not use_wet:
+        return F.xxhash64("html")
+    wet_text = F.when(F.col("html").isNull(), F.col("text"))
+    return F.xxhash64(F.coalesce(F.col("html"), F.encode(wet_text, "utf-8")))
 
 
 def delta_extract(
@@ -47,9 +63,14 @@ def delta_extract(
     produce identical rows anyway, and semi/anti joins are set-valued (a
     key present twice in prev would otherwise survive twice while the
     snapshot expects once, and vice versa). The equality invariant is
-    against the deduplicated snapshot (test_delta pins it)."""
+    against the deduplicated snapshot (test_delta pins it).
+
+    WET snapshots: pass ``cfg`` with ``wet_passthrough=True`` (the same
+    cfg the previous output was extracted with) — the change key then
+    mirrors the WET lineage hash, so unchanged conversion rows carry
+    forward instead of re-extracting every run."""
     new_keyed = pages_new.withColumn(
-        "payload_xxh", F.xxhash64("html")
+        "payload_xxh", payload_key_col(pages_new, cfg.wet_passthrough)
     ).dropDuplicates(_KEY)
     prev_cols = [c for c in extracted_prev.columns if c != "run_id"]
     prev = extracted_prev.select(*prev_cols).dropDuplicates(_KEY)
@@ -68,12 +89,13 @@ def delta_extract(
 
 
 def delta_stats(
-    pages_new: DataFrame, extracted_prev: DataFrame
+    pages_new: DataFrame, extracted_prev: DataFrame, wet: bool = False
 ) -> dict:
     """Driver-side summary of how much work a delta run saves (counts only
-    — three cheap aggregates, no extraction)."""
+    — three cheap aggregates, no extraction). ``wet`` must match the
+    cfg.wet_passthrough the extraction runs with (key parity)."""
     new_keyed = pages_new.select(
-        "url", F.xxhash64("html").alias("payload_xxh")
+        "url", payload_key_col(pages_new, wet).alias("payload_xxh")
     ).dropDuplicates(_KEY)
     prev = extracted_prev.select(*_KEY).dropDuplicates(_KEY)
     n_new = new_keyed.count()

@@ -134,12 +134,16 @@ def lsh_topk(
     base = _bucket_from_dots(dots)
     if n_probe > 1:
         # planes sorted by |margin| ascending; flip the weakest first
+        # each struct carries its plane's PRECOMPUTED shiftleft bit mask —
+        # the same integer convention as _bucket_from_dots (the single home
+        # of the bit layout); sort order is unchanged because 1<<j is
+        # monotonic in j (ties on equal margins still break by plane index)
         margins = F.array_sort(
             F.array(
                 *[
                     F.struct(
                         F.abs(dots[j]).alias("m"),
-                        F.lit(j).cast("int").alias("j"),
+                        F.shiftleft(F.lit(1).cast("long"), j).alias("mask"),
                     )
                     for j in range(len(planes))
                 ]
@@ -148,10 +152,7 @@ def lsh_topk(
         flips = F.slice(margins, 1, n_probe - 1)
         probes = F.concat(
             F.array(base),
-            F.transform(
-                flips,
-                lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("long")),
-            ),
+            F.transform(flips, lambda s: base.bitwiseXOR(s["mask"])),
         )
     else:
         probes = F.array(base)

@@ -994,3 +994,34 @@ def gen_pages_spark(
             yield res
 
     return bounds.mapInPandas(gen_batch, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Scanned-page fixtures (the image -> boxes -> text branch)
+# ---------------------------------------------------------------------------
+
+def scanned_lines(i: int) -> list[str]:
+    """The text content of synthetic scanned page ``i`` — closed-form in
+    the doc id so the DuckDB oracle can reconstruct it with string ops
+    (charset restricted to the kernels/font.py glyph set)."""
+    lines = [f"DOC {i}"]
+    for j in range(1, 2 + i % 4):
+        lines.append(f"LINE {j} CODE {(i * 31 + j) % 97}")
+    return lines
+
+
+def make_scanned_page(i: int, margin: int = 4) -> bytes:
+    """A valid grayscale PNG "scan" of page ``i``: the closed-form lines
+    rendered with the deterministic 5x7 font, plus ``i % 3`` single-pixel
+    noise specks along the top margin (>= 2 px from any glyph and from
+    each other, so they form their own sub-threshold components). The
+    RENDERER (font bitmaps on the advance grid) is deliberately shared
+    with the decoder's template table — template OCR needs the same font
+    — but the detection path (binarize, run union-find, line grouping,
+    advance-gap space recovery) never sees this function."""
+    from paddle_spark.kernels.font import render_page
+
+    img = render_page(scanned_lines(i), margin=margin)
+    for s in range(i % 3):
+        img[1, 1 + 5 * s] = 0
+    return make_png(img)

@@ -103,6 +103,50 @@ def test_delta_job_static_overwrite(spark, snapshots, tmp_path):
                   "--output", str(tmp_path / "prev")])
 
 
+def test_delta_wet_snapshot(spark):
+    """WET conversion rows (html null, text pre-extracted) must key the
+    delta on the text bytes: unchanged WET rows carry forward (never
+    re-extract), changed ones re-run, and distinct-text WET rows sharing
+    a url keep distinct keys instead of collapsing under a constant
+    null-input hash."""
+    import datetime as dt
+
+    from paddle_spark.operators.extract_job import with_config
+
+    ts = dt.datetime(2024, 1, 1)
+    wet1 = [(f"https://wet{i}.example/p", ts, None, f"wet text {i}", "en")
+            for i in range(20)]
+    # same url, two distinct WET texts — both must survive
+    wet1 += [("https://wetdup.example/p", ts, None, "alpha text", "en"),
+             ("https://wetdup.example/p", ts, None, "beta text", "en")]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    v1 = gen_pages_spark(spark, 30, seed=42, n_partitions=2).unionByName(
+        spark.createDataFrame(wet1, schema)
+    )
+    # v2: first 5 WET rows change text, rest identical
+    wet2 = [(f"https://wet{i}.example/p", ts, None,
+             f"changed wet {i}" if i < 5 else f"wet text {i}", "en")
+            for i in range(20)]
+    wet2 += wet1[20:]
+    v2 = gen_pages_spark(spark, 30, seed=42, n_partitions=2).unionByName(
+        spark.createDataFrame(wet2, schema)
+    )
+    cfg = with_config(wet_passthrough=True)
+    prev = extract_pages(v1, cfg, n_partitions=4)
+    s = delta_stats(v2, prev, wet=True)
+    assert s["snapshot_docs"] == 52
+    assert s["to_extract"] == 5, "unchanged WET rows must not re-extract"
+    merged = delta_extract(v2, prev, cfg, n_partitions=4)
+    full = extract_pages(v2, cfg, n_partitions=4)
+    assert merged.count() == full.count() == 52
+    m = {(r["url"], r["payload_xxh"]): r["text_sha256"] for r in merged.collect()}
+    f = {(r["url"], r["payload_xxh"]): r["text_sha256"] for r in full.collect()}
+    assert m == f, "WET delta output must equal full re-extraction"
+    # every WET row passed through (no parse_ok=false regressions)
+    bad = merged.filter(F.col("url").contains(".example/") & ~F.col("parse_ok"))
+    assert bad.count() == 0
+
+
 def test_delta_only_extracts_changed(spark, snapshots):
     """The fresh branch's plan touches only changed/new rows (anti-join),
     never the unchanged majority."""

@@ -42,7 +42,7 @@ def test_resume_antijoin_is_broadcast(spark, tiny_pages, tmp_path):
 def test_relational_query_wholestage_codegen(spark):
     import __spark_entry__ as em
 
-    df = em.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    df = em.q_pricing_summary(spark, "/root/testdata/sf0.001")
     plan = plan_of(df)
     # AQE wraps the plan pre-execution; codegen spans show in codegen mode
     codegen = df._sc._jvm.PythonSQLUtils.explainString(

@@ -1,0 +1,194 @@
+"""Scanned-page branch (kernels/font.py + kernels/scan.py): the font
+invariants template OCR depends on, the run-union-find detector, and the
+pixels -> boxes -> lines -> text chain, including through real PNG
+encode/decode and the Spark operator."""
+
+import numpy as np
+import pytest
+
+from paddle_spark.kernels.font import (
+    CELL_W,
+    FONT,
+    GLYPH_LUT,
+    glyph_array,
+    render_page,
+)
+from paddle_spark.kernels.scan import (
+    MIN_INK_PX,
+    connected_components,
+    ocr_page,
+)
+
+
+def _cc_of_glyph(ch):
+    img = np.full((11, 9), 255, np.uint8)
+    img[2:9, 2:7][glyph_array(ch)] = 0
+    return connected_components(img < 128)
+
+
+class TestFontInvariants:
+    def test_every_glyph_single_component(self):
+        # one detector component == one glyph is what makes template
+        # matching well-defined
+        for ch in FONT:
+            _, _, counts = _cc_of_glyph(ch)
+            assert len(counts) == 1, f"glyph {ch!r} has {len(counts)} components"
+
+    def test_patterns_pairwise_distinct(self):
+        assert len(GLYPH_LUT) == len(FONT)
+
+    def test_min_ink_px_below_smallest_glyph(self):
+        smallest = min(int(glyph_array(ch).sum()) for ch in FONT)
+        assert smallest >= MIN_INK_PX
+
+    def test_render_grid_geometry(self):
+        img = render_page(["AB"], margin=4)
+        # cell origins at x=4 and x=4+CELL_W
+        _, boxes, counts = connected_components(img < 128)
+        assert len(counts) == 2
+        xs = sorted(b[0] for b in boxes)
+        assert xs[1] - xs[0] == CELL_W
+
+
+class TestConnectedComponents:
+    def test_diagonal_connectivity(self):
+        # two pixels touching only diagonally must be ONE 8-connected
+        # component (V/W/X/Y/Z strokes rely on it)
+        img = np.full((4, 4), 255, np.uint8)
+        img[1, 1] = 0
+        img[2, 2] = 0
+        _, _, counts = connected_components(img < 128)
+        assert len(counts) == 1 and counts[0] == 2
+
+    def test_separated_pixels_two_components(self):
+        img = np.full((4, 6), 255, np.uint8)
+        img[1, 1] = 0
+        img[1, 4] = 0  # 2-column gap
+        _, _, counts = connected_components(img < 128)
+        assert len(counts) == 2
+
+    def test_bbox_and_count(self):
+        img = np.full((10, 10), 255, np.uint8)
+        img[2:5, 3:7] = 0  # 3x4 solid block
+        labels, boxes, counts = connected_components(img < 128)
+        assert counts.tolist() == [12]
+        assert boxes[0].tolist() == [3.0, 2.0, 7.0, 5.0]
+        assert (labels[2:5, 3:7] == 0).all()
+
+    def test_u_shape_merges_late(self):
+        # two vertical arms joined at the bottom: union-find must merge
+        # what starts as two separate run chains
+        img = np.full((6, 5), 255, np.uint8)
+        img[0:5, 0] = 0
+        img[0:5, 4] = 0
+        img[5, 0:5] = 0
+        _, _, counts = connected_components(img < 128)
+        assert len(counts) == 1
+
+    def test_empty_page(self):
+        img = np.full((8, 8), 255, np.uint8)
+        labels, boxes, counts = connected_components(img < 128)
+        assert len(counts) == 0 and (labels == -1).all()
+
+
+class TestOcrPage:
+    def test_round_trip_all_charset(self):
+        lines = [
+            "THE QUICK BROWN FOX JUMPS",
+            "OVER A LAZY DOG, 0123456789.",
+            "K-12 VWXYZ",
+        ]
+        r = ocr_page(render_page(lines))
+        assert r.parse_ok
+        assert r.text == "\n".join(lines)
+        assert r.n_lines == 3
+        assert r.n_glyphs == sum(len(ln.replace(" ", "")) for ln in lines)
+
+    def test_multi_space_gap_recovered(self):
+        lines = ["A  B   C"]
+        r = ocr_page(render_page(lines))
+        assert r.text == "A  B   C"
+
+    def test_specks_filtered_and_counted(self):
+        img = render_page(["HELLO"])
+        img[1, 1] = 0
+        img[1, 6] = 0
+        r = ocr_page(img)
+        assert r.text == "HELLO" and r.n_dropped == 2 and r.parse_ok
+
+    def test_unknown_ink_flagged_not_fatal(self):
+        img = render_page(["AB"])
+        assert img.shape[0] >= 17
+        img[13:17, 2:8] = 0  # a non-glyph blob below the text
+        r = ocr_page(img)
+        assert not r.parse_ok and "unrecognized" in r.error
+        assert "AB" in r.text  # known glyphs still decode
+
+    def test_none_pixels(self):
+        r = ocr_page(None)
+        assert not r.parse_ok and r.text is None
+
+    def test_empty_page_ok(self):
+        r = ocr_page(np.full((10, 10), 255, np.uint8))
+        assert r.parse_ok and r.text == "" and r.n_lines == 0
+
+    def test_line_order_is_reading_order(self):
+        lines = [f"LINE {j}" for j in range(7)]
+        r = ocr_page(render_page(lines))
+        assert r.text.split("\n") == lines
+
+
+class TestThroughPngAndSynth:
+    def test_synth_round_trip(self):
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.sources.synth import make_scanned_page, scanned_lines
+
+        for i in (0, 1, 2, 3, 11, 42, 119):
+            r = ocr_page(decode_pixels(make_scanned_page(i)))
+            assert r.parse_ok, (i, r.error)
+            assert r.text == "\n".join(scanned_lines(i))
+            assert r.n_dropped == i % 3
+            assert r.n_lines == 2 + i % 4
+
+
+@pytest.mark.usefixtures("spark")
+class TestOperator:
+    def test_extract_scanned_partition_invariance(self, spark):
+        """Per-url output identical at different parallelism (the
+        byte-identity invariant extended to the pixel branch)."""
+        import pandas as pd
+
+        from paddle_spark.operators.scanned import extract_scanned
+        from paddle_spark.sources.synth import make_scanned_page, scanned_lines
+
+        rows = [(f"scan://{i}", make_scanned_page(i)) for i in range(40)]
+        pdf = pd.DataFrame(rows, columns=["url", "payload"])
+        base = spark.createDataFrame(pdf)
+        out1 = {
+            r["url"]: (r["text"], r["n_glyphs"])
+            for r in extract_scanned(base.repartition(1)).collect()
+        }
+        out8 = {
+            r["url"]: (r["text"], r["n_glyphs"])
+            for r in extract_scanned(base, n_partitions=8).collect()
+        }
+        assert out1 == out8
+        for i in range(40):
+            assert out1[f"scan://{i}"][0] == "\n".join(scanned_lines(i))
+
+    def test_poisoned_payload_isolated(self, spark):
+        import pandas as pd
+
+        from paddle_spark.operators.scanned import extract_scanned
+        from paddle_spark.sources.synth import make_scanned_page
+
+        pdf = pd.DataFrame(
+            [
+                ("scan://ok", make_scanned_page(3)),
+                ("scan://bad", b"\x89PNG\r\n\x1a\nGARBAGE"),
+            ],
+            columns=["url", "payload"],
+        )
+        out = {r["url"]: r for r in extract_scanned(spark.createDataFrame(pdf)).collect()}
+        assert out["scan://ok"]["parse_ok"]
+        assert not out["scan://bad"]["parse_ok"]
