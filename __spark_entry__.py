@@ -2050,6 +2050,129 @@ FROM agg
 """
 
 
+def _split_tone_media(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Two-tone 36x16 grayscale PNG fixtures whose visual features are
+    closed-form in doc_id: columns [0, 4m+2) hold shade A = 40+(i*13)%60,
+    the rest shade B = A+100, with m = 1 + i%6. The 9x8 dhash grid then
+    samples m columns of A, one A/B midpoint, and 8-m of B, so the
+    difference hash is exactly (3 << (m-1)) * 0x0101010101010101, and the
+    4-bin histogram fractions are (4m+2)/36 at bin A//64 and the rest at
+    bin (A+100)//64."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.sources.synth import make_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < n
+    )
+
+    def to_img(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                m = 1 + i % 6
+                a = 40 + (i * 13) % 60
+                img = np.full((16, 36, 3), a + 100, dtype=np.uint8)
+                img[:, : 4 * m + 2] = a
+                payloads.append(make_png(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(to_img, schema="media_id long, payload binary")
+
+
+def q_mm_visual_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-derived visual features with an EXACT oracle: dhash (bilinear
+    9x8 grid gradient signs) and channel-histogram embedding fractions
+    computed from REAL decoded PNG pixels (operators/multimodal.py
+    visual_features — the retirement of decode_fake's digest feature).
+    The two-tone fixture family makes both closed-form in doc_id; h0..h3
+    unpack the red-channel histogram (channels identical on gray
+    fixtures; the full 12-dim array feeds ann_pixel_topk)."""
+    from paddle_spark.operators.multimodal import visual_features
+
+    media = _split_tone_media(spark, sf_dir, 120)
+    vf = visual_features(media)
+    return vf.select(
+        "media_id",
+        "dhash",
+        F.element_at("feature", 1).alias("h0"),
+        F.element_at("feature", 2).alias("h1"),
+        F.element_at("feature", 3).alias("h2"),
+        F.element_at("feature", 4).alias("h3"),
+        "decode_ok",
+    )
+
+
+_VISUAL_FIXTURE_CTE = """
+WITH d AS (
+  SELECT doc_id AS i,
+         1 + doc_id % 6 AS m,
+         40 + (doc_id * 13) % 60 AS a
+  FROM documents WHERE doc_id < {n}
+),
+f AS (
+  SELECT i, m, a,
+         CAST(a // 64 AS INT) AS bin_a,
+         CAST((a + 100) // 64 AS INT) AS bin_b,
+         round((4*m + 2) / 36.0, 6) AS fa,
+         round((36 - (4*m + 2)) / 36.0, 6) AS fb
+  FROM d
+),
+h AS (
+  SELECT i, m,
+         CASE WHEN bin_a = 0 THEN fa WHEN bin_b = 0 THEN fb ELSE 0.0 END AS h0,
+         CASE WHEN bin_a = 1 THEN fa WHEN bin_b = 1 THEN fb ELSE 0.0 END AS h1,
+         CASE WHEN bin_a = 2 THEN fa WHEN bin_b = 2 THEN fb ELSE 0.0 END AS h2,
+         CASE WHEN bin_a = 3 THEN fa WHEN bin_b = 3 THEN fb ELSE 0.0 END AS h3
+  FROM f
+)
+"""
+
+_MM_VISUAL_ORACLE = _VISUAL_FIXTURE_CTE.format(n=120) + """
+SELECT i AS media_id,
+       (CAST(3 AS BIGINT) << (m - 1)) * 72340172838076673 AS dhash,
+       h0, h1, h2, h3, TRUE AS decode_ok
+FROM h
+"""
+
+
+def q_ann_pixel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN chain consuming PIXEL-DERIVED feature vectors (not digest
+    stand-ins): brute-force cosine top-3 over the 12-dim histogram
+    embeddings that visual_features extracts from decoded PNGs. The
+    oracle rebuilds the same embeddings closed-form and replays cosine +
+    window ranking in DuckDB (list_cosine_similarity)."""
+    from paddle_spark.operators.multimodal import visual_features
+    from paddle_spark.operators.similarity import brute_force_topk
+
+    vf = visual_features(_split_tone_media(spark, sf_dir, 60)).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    q = vf.filter(F.col("vec_id") < 8)
+    return brute_force_topk(vf, q, k=3)
+
+
+_ANN_PIXEL_ORACLE = _VISUAL_FIXTURE_CTE.format(n=60) + """,
+emb AS (
+  SELECT i AS vec_id,
+         [h0, h1, h2, h3, h0, h1, h2, h3, h0, h1, h2, h3]::DOUBLE[] AS v
+  FROM h
+)
+SELECT qid, cid, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM emb q JOIN emb c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # consolidated suites: several single-operator demos united into one frame
 # (Spark unionByName(allowMissingColumns) ≡ DuckDB UNION ALL BY NAME, both
@@ -2152,8 +2275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round: run first ---
         "extract_scanned": q_extract_scanned,      # NEW: pixels -> boxes -> text
-        "mm_decode_stub": q_mm_decode_stub,        # rows-only by design; its
-        # exact twin is mm_decode_dims (same stage, digest dims oracle)
+        "mm_visual_features": q_mm_visual_features,  # NEW: dhash + histogram
+        "ann_pixel_topk": q_ann_pixel_topk,        # NEW: ANN over pixel features
+        # (mm_decode_stub is retired from the registry: decode_media's
+        # plumbing is exactly covered by mm_decode_dims' exact oracle, and
+        # its digest feature is superseded by mm_visual_features)
         "mm_decode_dims": q_mm_decode_dims,
         "mm_pixel_stats": q_mm_pixel_stats,        # NEW: real pixel decode, exact oracle
         "mm_frame_sample": q_mm_frame_sample,      # NEW: animated-GIF frame sampling
@@ -2212,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
+        "mm_visual_features": _MM_VISUAL_ORACLE,
+        "ann_pixel_topk": _ANN_PIXEL_ORACLE,
         "extract_html": _EXTRACT_HTML_ORACLE,
         "extract_real_pdf": _EXTRACT_REAL_PDF_ORACLE,
         "mm_pixel_stats": _MM_PIXEL_STATS_ORACLE,
@@ -2278,10 +2406,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_planted": _ANN_LSH_PLANTED_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
         "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,
-        # rows-only (hash-dependent / array outputs, not SQL-expressible on
-        # arbitrary input): extract_layout, dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh, mm_decode_stub. EVERY one has a hash-green exact twin on
+        # rows-only (hash-dependent outputs, not SQL-expressible on
+        # arbitrary input): extract_layout, dedup_minhash_lsh,
+        # dedup_simhash, ann_lsh. EVERY one has a hash-green exact twin on
         # a constructed input where the algorithm's output is closed-form:
         # extract_layout_oracle/_markdown, dedup_minhash_planted,
-        # dedup_simhash_planted, ann_lsh_planted, mm_decode_dims.
+        # dedup_simhash_planted, ann_lsh_planted.
     }

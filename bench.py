@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_topk",
     "text_stats",      # tokens + quality + fingerprint (consolidated)
     "extract_real_pdf",  # real PDF parser chain, exact-oracled
+    "extract_scanned",   # pixels -> boxes -> text (round-4 branch)
 ]
 
 
@@ -109,6 +110,47 @@ def timed_best(mk, repeats: int = 2) -> float:
     return best
 
 
+def ensure_image_corpus(spark, n_imgs: int) -> str:
+    """Materialize a deterministic mixed-codec image corpus once: noisy
+    (non-trivially-compressible) PNG/BMP/JPEG/GIF/TIFF payloads, 64-160 px
+    a side — the input for the pixel-decode throughput figure that gates
+    the pure-Python codecs (ExtractConfig.pixel_codec)."""
+    path = f"/tmp/paddle_spark_bench_images_v1_{n_imgs}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import numpy as np
+        import pandas as pd
+
+        def gen(batches):
+            from paddle_spark.sources.synth import (
+                make_bmp, make_gif, make_jpeg, make_png, make_tiff,
+            )
+
+            for pdf in batches:
+                ids = [int(i) for i in pdf["id"].tolist()]
+                payloads = []
+                for i in ids:
+                    rng = np.random.RandomState(i)
+                    w, h = 64 + (i * 13) % 97, 64 + (i * 17) % 97
+                    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                    k = i % 5
+                    if k == 0:
+                        payloads.append(make_png(img, filter_types=[0, 1, 2, 3, 4]))
+                    elif k == 1:
+                        payloads.append(make_bmp(img))
+                    elif k == 2:
+                        payloads.append(make_jpeg(img[:, :, 0]))
+                    elif k == 3:
+                        payloads.append(make_gif(img[:, :, 0] % 64, np.arange(192).reshape(64, 3)))
+                    else:
+                        payloads.append(make_tiff(img, compression="lzw", rows_per_strip=32))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        spark.range(0, n_imgs, 1, CPUS * 2).mapInPandas(
+            gen, schema="media_id long, payload binary"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def ensure_corpus(spark, n_rows: int, seed: int) -> str:
     """Materialize the deterministic bench corpus once (distributed gen)."""
     from paddle_spark.sources.synth import GEN_VERSION
@@ -167,6 +209,18 @@ def main() -> None:
         force(queries[name](spark, SF_DIR))
         timings[name] = round(timed_best(lambda: queries[name](spark, SF_DIR)), 3)
 
+    # --- pixel-decode throughput (the pure-Python-codec gate figure) ---
+    from paddle_spark.operators.multimodal import pixel_stats
+
+    n_imgs = int(os.environ.get("SPARK_GRAFT_BENCH_IMGS", "3000"))
+    images = spark.read.parquet(ensure_image_corpus(spark, n_imgs))
+    force(pixel_stats(images, max_dim=640))  # warm
+    px_sec = timed_best(lambda: pixel_stats(images, max_dim=640), repeats=2)
+    # reported as its OWN metric, not folded into the e2e total: the
+    # pure-Python codec figure gates ExtractConfig.pixel_codec and would
+    # otherwise swamp the cross-round-comparable headline number
+    imgs_per_sec = n_imgs / px_sec
+
     steal = mon.stop()
 
     # Contention guard. Co-tenant interference on this box often shows as
@@ -180,7 +234,7 @@ def main() -> None:
         "computed_key_join": 0.47, "ordered_concat": 0.43,
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.49,
         "dedup_minhash_lsh": 1.04, "ann_topk": 0.44, "text_stats": 0.59,
-        "extract_real_pdf": 0.65,
+        "extract_real_pdf": 0.65, "extract_scanned": 0.68,
     }
     suspect = [
         n for n, ref in quiet_ref.items()
@@ -219,6 +273,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extract_docs_per_sec": round(docs_per_sec, 1),
                 "extract_docs": BENCH_DOCS,
+                "pixel_decode_imgs_per_sec": round(imgs_per_sec, 1),
+                "pixel_decode_sec": round(px_sec, 3),
+                "pixel_decode_imgs": n_imgs,
                 "cpus": CPUS,
                 **steal,
             }

@@ -136,6 +136,12 @@ class ExtractConfig:
     # text column — the default plan keeps the F1 pruning invariant
     # (ReadSchema excludes text).
     wet_passthrough: bool = False
+    # Pixel-decode codec for the multimodal/scanned operators:
+    # 'python' (pure-Python kernels — bit-exact but ~10^2-10^3 imgs/s/core,
+    # see BENCH/BASELINE.md), 'native' (PIL on the cluster), or 'off'
+    # (refuse at plan construction — header/metadata-only jobs). The knob
+    # exists so a 100-TB job can't silently run per-bit Huffman decode.
+    pixel_codec: str = "python"
 
     def layout_threshold(self, label_id: int) -> float:
         return LAYOUT_THRESHOLDS.get(label_id, 0.5)

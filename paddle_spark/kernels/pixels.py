@@ -427,6 +427,51 @@ def decode_pixels(p: bytes | None) -> np.ndarray | None:
     return None
 
 
+def decoder_for(codec: str):
+    """Resolve the pixel-decode callable for a config knob, so bulk jobs
+    must CHOOSE a codec instead of silently running the correctness-first
+    pure-Python Huffman/unfilter loops over 100 TB (see the measured
+    pixel_decode_imgs_per_sec figure in BENCH/BASELINE.md):
+
+    - ``python``: this module + kernels/jpeg.py. Bit-exact, tested,
+      ~10^2-10^3 imgs/s/core — fine for oracles, goldens, and modest
+      corpora; a deliberate choice for bulk.
+    - ``native``: PIL-backed decode for production throughput; raises
+      ImportError in runtimes without PIL rather than degrading quietly.
+    - ``off``: refuse pixel decode at plan-construction time — the guard
+      for jobs that only need headers/metadata (kernels/raster.py).
+    """
+    if codec == "python":
+        return decode_pixels
+    if codec == "native":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise ImportError(
+                "pixel_codec='native' needs PIL on executors; install it "
+                "or choose pixel_codec='python' (slower, pure-Python)"
+            ) from e
+
+        import io
+
+        def _native(p: bytes | None) -> np.ndarray | None:
+            if not p:
+                return None
+            try:
+                return np.asarray(Image.open(io.BytesIO(p)))
+            except Exception:
+                return None
+
+        return _native
+    if codec == "off":
+        raise ValueError(
+            "pixel decode is disabled (pixel_codec='off'); pick 'python' "
+            "(pure-Python, correctness-first) or 'native' (PIL) explicitly "
+            "before running a bulk pixel job"
+        )
+    raise ValueError(f"unknown pixel codec {codec!r}")
+
+
 def to_3ch(img: np.ndarray) -> np.ndarray:
     """Reference channel normalization (model.py:328-333): gray -> repeat
     to 3 channels, gray+alpha -> drop alpha then repeat, RGBA -> drop

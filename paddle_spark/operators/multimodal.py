@@ -10,8 +10,12 @@ preprocessing (gray -> 3ch, alpha drop, downscale cap, RGB -> BGR).
 Only WEBP (VP8 entropy) and audio/video remain the declared seam:
 ``decode_real`` raises ``NotImplementedError`` behind an import-try —
 the swap point for PIL/ffmpeg on a real cluster (also the bulk-
-throughput alternative to the correctness-first Python codecs) — and
-the deterministic fake stands in for neural feature vectors.
+throughput alternative to the correctness-first Python codecs; every
+pixel operator takes a ``codec`` knob resolved by
+kernels/pixels.decoder_for so that choice is explicit). Feature vectors
+are PIXEL-DERIVED since round 4 (``visual_features``: dhash + channel
+histograms); ``decode_fake``'s digest feature remains only as the
+plumbing stand-in for NEURAL embeddings.
 
 Reference analog: the blip-caption backend's batched execute loop
 (/root/reference/server/model_repo/blip-caption/1/model.py:226-292 —
@@ -128,6 +132,96 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
     return src.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
 
 
+VISUAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def visual_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bins: int = 4,
+    hash_size: int = 8,
+    codec: str = "python",
+) -> DataFrame:
+    """DETERMINISTIC visual features from REAL decoded pixels — the
+    pixel-derived replacement for decode_fake's digest stand-in, feeding
+    the ANN/dedup chain with meaningful vectors short of neural
+    embeddings:
+
+    - ``dhash``: difference hash — channel-mean grayscale, bilinear
+      resize to (hash_size+1, hash_size), bit r*hash_size+c set when
+      px[r,c] < px[r,c+1]. Near-duplicate images agree on most bits
+      (Hamming distance), exact duplicates agree on all 64.
+    - ``feature``: per-channel ``bins``-bin intensity histogram
+      (fractions of pixels, rounded to 6 decimals), concatenated
+      R|G|B — a 3*bins-dim embedding for cosine ANN.
+
+    Arrow-batched mapInPandas, map-only plan, per-item isolation (T5).
+    """
+    import numpy as np
+
+    from paddle_spark.kernels.pixels import (
+        decoder_for,
+        resize_bilinear,
+        to_3ch,
+    )
+
+    decode = decoder_for(codec)
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    width = 256 // bins
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if img is None:
+                        rows.append((int(mid), None, None, False))
+                        continue
+                    img3 = to_3ch(img)
+                    gray = img3.mean(axis=2, dtype=np.float64)
+                    small = resize_bilinear(
+                        gray[:, :, None], hash_size + 1, hash_size
+                    )[:, :, 0]
+                    diff = small[:, :-1] < small[:, 1:]
+                    weights = np.int64(1) << np.arange(
+                        hash_size * hash_size, dtype=np.int64
+                    )
+                    dhash = int((diff.reshape(-1) * weights).sum())
+                    n_px = img3.shape[0] * img3.shape[1]
+                    feat = []
+                    for ch in range(3):
+                        counts = np.bincount(
+                            (img3[:, :, ch] // width).reshape(-1),
+                            minlength=bins,
+                        )[:bins]
+                        feat.extend(
+                            round(float(c) / n_px, 6) for c in counts
+                        )
+                    rows.append((int(mid), dhash, feat, True))
+                except Exception:  # per-item isolation
+                    rows.append((int(mid), None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "feature", "decode_ok"]
+            )
+
+    return src.mapInPandas(batch, schema=VISUAL_SCHEMA)
+
+
 PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -149,6 +243,7 @@ def pixel_stats(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_dim: int = 6000,
+    codec: str = "python",
 ) -> DataFrame:
     """REAL pixel decode (PNG/BMP/GIF/JPEG/TIFF, kernels/pixels.py +
     kernels/jpeg.py) through the reference's frame preprocessing —
@@ -157,9 +252,12 @@ def pixel_stats(
     processed frame. Arrow-batched mapInPandas with per-item isolation
     (T5): undecodable payloads (WEBP = the declared seam, out-of-scope
     variants, or garbage) yield decode_ok=false rows, never task
-    failures."""
-    from paddle_spark.kernels.pixels import decode_pixels, preprocess_frame
+    failures. ``codec`` gates the decode path (kernels/pixels.decoder_for):
+    'off' refuses at plan construction, 'native' demands PIL — a bulk job
+    must opt into the pure-Python codecs deliberately."""
+    from paddle_spark.kernels.pixels import decoder_for, preprocess_frame
 
+    decode = decoder_for(codec)
     src = media.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.col(payload_col).alias("payload"),
@@ -170,7 +268,7 @@ def pixel_stats(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    img = decode_pixels(
+                    img = decode(
                         bytes(payload) if payload is not None else None
                     )
                     if img is None:
@@ -226,6 +324,7 @@ def frame_sample(
     max_frames: int = 8,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    codec: str = "python",
 ) -> DataFrame:
     """Frame sampling over animated payloads (U5-style fan-out: 1 media
     row -> N sampled-frame rows). Frame count comes from the header walk
@@ -235,8 +334,28 @@ def frame_sample(
     max-frames-per-request bound (model.py:344-351); non-animated or
     undecodable payloads simply emit fewer (or zero) rows — per-item
     isolation, never task failure."""
-    from paddle_spark.kernels.pixels import decode_gif_pixels, decode_pixels
+    from paddle_spark.kernels.pixels import (
+        decode_gif_pixels,
+        decoder_for,
+    )
     from paddle_spark.kernels.raster import decode_image_header
+
+    decode = decoder_for(codec)  # validates / gates at plan construction
+    if codec == "native":  # pragma: no cover - PIL absent in this runtime
+        def decode_frame(p, fno):
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(p))
+            im.seek(fno)
+            return np.asarray(im.convert("RGB"))
+    else:
+        def decode_frame(p, fno):
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                return decode_gif_pixels(p, frame=fno)
+            return decode(p) if fno == 0 else None
 
     src = media.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -253,13 +372,8 @@ def frame_sample(
                         continue
                     meta = decode_image_header(p)
                     n = int(meta["n_frames"]) if meta else 1
-                    is_gif = p[:6] in (b"GIF87a", b"GIF89a")
                     for fno in list(range(0, n, every_k))[:max_frames]:
-                        img = (
-                            decode_gif_pixels(p, frame=fno)
-                            if is_gif
-                            else (decode_pixels(p) if fno == 0 else None)
-                        )
+                        img = decode_frame(p, fno)
                         if img is None:
                             continue
                         h, w = img.shape[:2]

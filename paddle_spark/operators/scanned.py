@@ -40,13 +40,16 @@ def extract_scanned(
     """Run the scanned-page chain over a (url, payload) DataFrame of page
     images. ``n_partitions`` adds the one optional shuffle (url hash) when
     upstream partitioning is skewed; by default the plan stays map-only."""
+    from paddle_spark.kernels.pixels import decoder_for
+
     src = pages.select("url", "payload")
     if n_partitions:
         src = src.repartition(n_partitions, "url")
+    # resolved at plan construction: pixel_codec='off' refuses here, not
+    # mid-task on an executor
+    decode = decoder_for(cfg.pixel_codec)
 
     def run(batches):
-        # imported inside the worker so the closure ships names, not objects
-        from paddle_spark.kernels.pixels import decode_pixels
         from paddle_spark.kernels.scan import ocr_page
 
         for pdf in batches:
@@ -63,7 +66,7 @@ def extract_scanned(
             }
             for k, p in enumerate(payloads):
                 try:
-                    r = ocr_page(decode_pixels(p), cfg)
+                    r = ocr_page(decode(p), cfg)
                     out["text"][k] = r.text
                     out["n_glyphs"][k] = r.n_glyphs
                     out["n_lines"][k] = r.n_lines

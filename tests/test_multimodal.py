@@ -122,3 +122,91 @@ def test_frame_sample_grayscale_payloads(spark):
     assert set(out) == {0, 1}
     for r in out.values():
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (77.0, 77.0, 77.0)
+
+
+def test_visual_features_dhash_and_histogram(spark):
+    """Pixel-derived features (the digest-fake retirement): identical
+    payloads hash identically, near-identical payloads land within a few
+    Hamming bits, distinct structures differ, and the histogram embedding
+    is the exact per-bin pixel fraction."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_png
+
+    base = np.full((16, 36, 3), 140, dtype=np.uint8)
+    base[:, :18] = 40
+    near = base.copy()
+    near[0, 0] = 41  # one-pixel perturbation
+    flipped = base[:, ::-1].copy()  # gradient signs invert
+    rows = [
+        (0, bytearray(make_png(base))),
+        (1, bytearray(make_png(base))),
+        (2, bytearray(make_png(near))),
+        (3, bytearray(make_png(flipped))),
+        (4, bytearray(b"junk")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in MM.visual_features(media).collect()}
+    assert out[0]["dhash"] == out[1]["dhash"]
+    ham = bin((out[0]["dhash"] ^ out[2]["dhash"]) & (2**64 - 1)).count("1")
+    assert ham <= 4
+    assert out[0]["dhash"] != out[3]["dhash"]
+    # histogram: half the pixels at 40 (bin 0), half at 140 (bin 2),
+    # repeated across the three channels
+    assert out[0]["feature"] == [0.5, 0.0, 0.5, 0.0] * 3
+    assert not out[4]["decode_ok"] and out[4]["feature"] is None
+
+
+def test_visual_features_feed_ann(spark):
+    """The ANN operator consumes visual_features output directly: exact
+    duplicates rank first with cosine 1.0."""
+    import numpy as np
+
+    from paddle_spark.operators.similarity import brute_force_topk
+    from paddle_spark.sources.synth import make_png
+
+    def img(a, b, split):
+        x = np.full((16, 36, 3), b, dtype=np.uint8)
+        x[:, :split] = a
+        return bytearray(make_png(x))
+
+    rows = [
+        (0, img(40, 140, 18)),
+        (1, img(40, 140, 18)),   # duplicate of 0
+        (2, img(40, 140, 6)),    # same bins, different fractions
+        (3, img(200, 255, 18)),  # different bins entirely
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    vf = MM.visual_features(media).selectExpr(
+        "media_id AS vec_id", "feature AS embedding"
+    )
+    top = brute_force_topk(vf, vf, k=1)
+    best = {r["qid"]: r for r in top.collect()}
+    assert best[0]["cid"] == 1 and best[0]["cosine"] == 1.0
+    assert best[1]["cid"] == 0 and best[1]["cosine"] == 1.0
+
+
+def test_pixel_codec_knob(spark):
+    """The bulk-decode gate: 'off' and unknown codecs refuse at plan
+    construction (driver side, not mid-task), and 'native' demands PIL
+    instead of silently falling back to the slow pure-Python path."""
+    import pytest
+
+    from paddle_spark.operators.scanned import extract_scanned
+    from paddle_spark.operators.extract_job import with_config
+
+    media = spark.createDataFrame([(0, b"x")], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="disabled"):
+        MM.pixel_stats(media, codec="off")
+    with pytest.raises(ValueError, match="unknown"):
+        MM.visual_features(media, codec="bogus")
+    with pytest.raises(ValueError, match="disabled"):
+        MM.frame_sample(media, codec="off")
+    pages = spark.createDataFrame([("u", b"x")], "url string, payload binary")
+    with pytest.raises(ValueError, match="disabled"):
+        extract_scanned(pages, with_config(pixel_codec="off"))
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="PIL"):
+            MM.pixel_stats(media, codec="native")
