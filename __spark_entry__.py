@@ -1773,12 +1773,13 @@ FROM documents
 
 
 def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode with an EXACT oracle across FOUR codecs:
+    """REAL pixel decode with an EXACT oracle across FIVE codecs:
     solid-color PNGs (filter types 0-4 cycled per row, so unfiltering is
     load-bearing), 24-bpp BMPs, LZW-compressed TIFFs (real dictionary
-    coding + strip layout), and solid-gray baseline JPEGs (quant=8 makes
-    the DC path lossless — kernels/jpeg.py gets a driver-exact row
-    despite JPEG being lossy in general). Dims/colors are closed-form in
+    coding + strip layout), lossless WEBPs (VP8L prefix codes through
+    the subtract-green transform, kernels/webp.py), and solid-gray
+    baseline JPEGs (quant=8 makes the DC path lossless — kernels/jpeg.py
+    gets a driver-exact row despite JPEG being lossy in general). Dims/colors are closed-form in
     doc_id; payloads run through kernels/pixels.py + the reference's
     frame preprocessing (3ch -> cap 128 -> BGR; model.py:328-334,
     :355-364). Solid color survives any correct resample, so per-channel
@@ -1794,6 +1795,7 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg,
         make_png,
         make_tiff,
+        make_webp,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
@@ -1818,6 +1820,10 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         make_tiff(solid, compression="lzw", rows_per_strip=16)
                     )
+                elif i % 5 == 3:
+                    # 5th codec arm: WEBP lossless (VP8L prefix codes +
+                    # subtract-green transform, kernels/webp.py)
+                    payloads.append(make_webp(solid, subtract_green=True))
                 else:
                     payloads.append(
                         make_png(solid, filter_types=[0, 1, 2, 3, 4])

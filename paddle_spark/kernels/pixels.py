@@ -9,18 +9,22 @@ RGB -> BGR, largest-dimension downscale cap with bilinear resampling;
 /root/reference/server/model_repo/layout-parsing/1/model.py:328-334,
 :355-364). GIF frames decode too (LZW per the GIF89a spec, interlacing
 undone), as do JPEG (kernels/jpeg.py, baseline + progressive) and TIFF
-(strips/LZW/PackBits below). WEBP (VP8 entropy) is the one remaining
-declared seam — its header dims still come from kernels/raster.py, and
-``decode_pixels`` returns None so callers degrade.
+(strips/LZW/PackBits below), and WEBP lossless (VP8L: prefix codes +
+LZ77 + transforms, kernels/webp.py). The one remaining declared seam is
+LOSSY WEBP (VP8 boolean arithmetic coder + DCT) — those payloads keep
+header dims via kernels/raster.py and return None here so callers
+degrade.
 
 Scope (graceful degradation, never an exception escaping decode_pixels):
 - PNG: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
   alpha), 6 (RGBA); filters 0-4 incl. Paeth; non-interlaced only.
 - BMP: BITMAPINFOHEADER family, 24/32 bpp, uncompressed, bottom-up or
   top-down rows.
-- GIF: first frame only (own rectangle); global or local palette;
-  interlaced row reorder; later frames / disposal composition stay out
-  of scope (frame COUNT still comes from raster.py).
+- GIF: global or local palette; interlaced row reorder; per-frame LZW.
+  ``decode_gif_pixels`` returns a frame's OWN rectangle (fast path for
+  stats); ``decode_gif_composited`` replays the animation — frame
+  placement, transparency, disposal methods 0-3 — onto the logical
+  canvas for true composited frames.
 - Resize: bilinear SAMPLING (half-pixel centers). PIL's BILINEAR uses a
   triangle filter whose taps widen on downscale, so outputs are not
   bit-identical to the reference's PIL call — the resize stays a
@@ -283,6 +287,119 @@ def decode_gif_pixels(p: bytes, frame: int = 0) -> np.ndarray | None:
     return None
 
 
+def decode_gif_composited(p: bytes, frame: int = 0) -> np.ndarray | None:
+    """Frame ``frame`` of a GIF as a TRUE COMPOSITED canvas image
+    (GIF89a animation semantics): every frame up to the requested one is
+    decoded and painted onto the logical-screen canvas at its (left, top)
+    rectangle, honoring the graphic-control extension — transparent-index
+    pixels leave the canvas untouched, and disposal methods apply between
+    frames (0/1 keep, 2 restore the rect to the background color,
+    3 restore the previous canvas). This is what a user extracting
+    animation frames expects; ``decode_gif_pixels`` remains the
+    rectangle-only fast path for frame stats."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    cw, ch = struct.unpack("<HH", p[6:10])
+    flags = p[10]
+    bg_index = p[11]
+    if cw == 0 or ch == 0 or cw * ch > 1 << 26:
+        return None
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if i + 3 * n > len(p):
+            return None
+        gct = np.frombuffer(p[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    bg_color = (
+        gct[bg_index]
+        if gct is not None and bg_index < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((ch, cw, 3), dtype=np.uint8)
+    canvas[:] = bg_color
+    disposal, tci = 0, None
+    seen = 0
+    n_bytes = len(p)
+    while i < n_bytes:
+        b = p[i]
+        if b == 0x21:  # extension
+            if i + 1 < n_bytes and p[i + 1] == 0xF9 and i + 7 < n_bytes:
+                packed = p[i + 3]
+                disposal = (packed >> 2) & 0x07
+                tci = p[i + 6] if packed & 0x01 else None
+            i += 2
+            while i < n_bytes and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n_bytes:
+                return None
+            left, top, w, h = struct.unpack("<HHHH", p[i + 1 : i + 9])
+            lflags = p[i + 9]
+            i += 10
+            pal = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                if i + 3 * n > n_bytes:
+                    return None
+                pal = np.frombuffer(p[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if pal is None or w == 0 or h == 0 or w * h > 1 << 26:
+                return None
+            if i >= n_bytes:
+                return None
+            mcs = p[i]
+            i += 1
+            if not (2 <= mcs <= 11):
+                return None
+            chunks = []
+            while i < n_bytes and p[i] != 0:
+                ln = p[i]
+                chunks.append(p[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1
+            idx = _lzw_decode(mcs, b"".join(chunks), w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            a = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if int(a.max(initial=0)) >= pal.shape[0]:
+                return None
+            if lflags & 0x40:  # interlaced
+                order = []
+                for start, step in _GIF_INTERLACE:
+                    order.extend(range(start, h, step))
+                un = np.empty_like(a)
+                un[order] = a
+                a = un
+            # clip the frame rect to the canvas
+            y2 = min(top + h, ch)
+            x2 = min(left + w, cw)
+            if y2 <= top or x2 <= left:
+                av = a[:0, :0]
+            else:
+                av = a[: y2 - top, : x2 - left]
+            prev = canvas.copy() if disposal == 3 else None
+            rect = canvas[top:y2, left:x2]
+            mask = (av != tci) if tci is not None else np.ones(av.shape, bool)
+            rect[mask] = pal[av][mask]
+            if seen == frame:
+                return np.ascontiguousarray(canvas)
+            # disposal applies AFTER display, before the next frame
+            if disposal == 2:
+                canvas[top:y2, left:x2] = bg_color
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            disposal, tci = 0, None
+            seen += 1
+        elif b == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def _packbits(data: bytes) -> bytes:
     """TIFF PackBits (spec §9): n 0..127 -> copy n+1 literals;
     129..255 (signed -1..-127) -> repeat next byte 257-n times;
@@ -422,6 +539,10 @@ def decode_pixels(p: bytes | None) -> np.ndarray | None:
             return decode_jpeg_pixels(p)
         if p[:4] in (b"II*\x00", b"MM\x00*"):
             return decode_tiff_pixels(p)
+        if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+            from paddle_spark.kernels.webp import decode_webp_pixels
+
+            return decode_webp_pixels(p)
     except Exception:
         return None
     return None

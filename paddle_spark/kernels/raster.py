@@ -150,6 +150,13 @@ def _webp(p: bytes) -> dict | None:
     if chunk == b"VP8 ":
         w, h = struct.unpack("<HH", p[26:30])
         return {"format": "webp", "width": w & 0x3FFF, "height": h & 0x3FFF, "n_frames": 1}
+    if chunk == b"VP8L" and len(p) >= 25 and p[20] == 0x2F:
+        # VP8L header: signature byte then 14+14 bits of (dim - 1),
+        # LSB-first from byte 21
+        bits = int.from_bytes(p[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return {"format": "webp", "width": w, "height": h, "n_frames": 1}
     return None
 
 

@@ -3,11 +3,12 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, Arrow batch shape, mapInPandas signatures,
 partitioning) is real and tested. Since round 3, PIXEL-LEVEL decode is
-real for PNG, BMP, GIF (per-frame LZW), JPEG (baseline + progressive)
-and TIFF (kernels/pixels.py + kernels/jpeg.py — pure zlib/NumPy) and
-feeds ``pixel_stats`` / ``frame_sample`` with the reference's channel
+real for PNG, BMP, GIF (per-frame LZW + animation composition), JPEG
+(baseline + progressive), TIFF, and lossless WEBP (kernels/pixels.py +
+kernels/jpeg.py + kernels/webp.py — pure zlib/NumPy) and feeds
+``pixel_stats`` / ``frame_sample`` with the reference's channel
 preprocessing (gray -> 3ch, alpha drop, downscale cap, RGB -> BGR).
-Only WEBP (VP8 entropy) and audio/video remain the declared seam:
+Only lossy-WEBP (VP8) and audio/video remain the declared seam:
 ``decode_real`` raises ``NotImplementedError`` behind an import-try —
 the swap point for PIL/ffmpeg on a real cluster (also the bulk-
 throughput alternative to the correctness-first Python codecs; every
@@ -335,7 +336,7 @@ def frame_sample(
     undecodable payloads simply emit fewer (or zero) rows — per-item
     isolation, never task failure."""
     from paddle_spark.kernels.pixels import (
-        decode_gif_pixels,
+        decode_gif_composited,
         decoder_for,
     )
     from paddle_spark.kernels.raster import decode_image_header
@@ -354,7 +355,10 @@ def frame_sample(
     else:
         def decode_frame(p, fno):
             if p[:6] in (b"GIF87a", b"GIF89a"):
-                return decode_gif_pixels(p, frame=fno)
+                # COMPOSITED frames: placement + transparency + disposal
+                # replayed on the canvas, so a sampled frame of an
+                # optimized animation is the image a viewer would show
+                return decode_gif_composited(p, frame=fno)
             return decode(p) if fno == 0 else None
 
     src = media.select(

@@ -483,11 +483,19 @@ def _gif_lzw_encode(mcs: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
-def make_gif(indices, palette, interlace: bool = False) -> bytes:
+def make_gif(indices, palette, interlace: bool = False, rects=None,
+             disposals=None, transparent=None) -> bytes:
     """A valid GIF89a from an (H, W) index array — or a LIST of them for
     an animation (all frames share the global palette; per-frame graphic
     control extensions included) — and an (N, 3) palette. Real LZW data
-    sub-blocks, optional interlacing (first frame)."""
+    sub-blocks, optional interlacing (first frame).
+
+    Animation-composition knobs (all per-frame lists, None = defaults):
+    ``rects`` = (left, top) placement of each frame's rectangle on the
+    canvas (canvas size = frame 0's size); ``disposals`` = GIF disposal
+    method (0/1 keep, 2 restore-background, 3 restore-previous);
+    ``transparent`` = transparent color index (or None). These drive the
+    composited decode path (kernels/pixels.decode_gif_composited)."""
     import struct as _struct
 
     frames = indices if isinstance(indices, list) else [indices]
@@ -514,10 +522,15 @@ def make_gif(indices, palette, interlace: bool = False) -> bytes:
             rows = idx[order]
         else:
             rows = idx
-        if len(frames) > 1:  # graphic control extension per frame
-            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        left, top = rects[k] if rects else (0, 0)
+        disp = disposals[k] if disposals else 0
+        tci = transparent[k] if transparent else None
+        if len(frames) > 1 or disp or tci is not None:
+            packed = (disp << 2) | (1 if tci is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed, 0x0A, 0,
+                          0 if tci is None else tci, 0])
         data = _gif_lzw_encode(mcs, [int(v) for v in rows.reshape(-1)])
-        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, fw, fh)
+        out += b"\x2c" + _struct.pack("<HHHH", left, top, fw, fh)
         out += bytes([0x40 if lace else 0])
         out += bytes([mcs])
         for off in range(0, len(data), 255):
@@ -1025,3 +1038,272 @@ def make_scanned_page(i: int, margin: int = 4) -> bytes:
     for s in range(i % 3):
         img[1, 1 + 5 * s] = 0
     return make_png(img)
+
+
+# ---------------------------------------------------------------------------
+# WEBP lossless (VP8L) spec-twin encoder
+# ---------------------------------------------------------------------------
+
+class _VP8LBits:
+    """LSB-first bit writer (VP8L bit packing)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc |= (val & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def bytes(self) -> bytes:
+        out = bytes(self.buf) + (bytes([self.acc]) if self.n else b"")
+        return out
+
+
+def _vp8l_canon(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical (deflate-style) code assignment: sym -> (code, len)."""
+    max_len = max(lengths.values())
+    bl = [0] * (max_len + 1)
+    for l in lengths.values():
+        bl[l] += 1
+    code = 0
+    nxt = [0] * (max_len + 1)
+    for l in range(1, max_len + 1):
+        code = (code + bl[l - 1]) << 1
+        nxt[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        out[s] = (nxt[l], l)
+        nxt[l] += 1
+    return out
+
+
+def _vp8l_write_sym(bw: _VP8LBits, codes: dict, s: int) -> None:
+    code, ln = codes[s]
+    for j in range(ln - 1, -1, -1):  # MSB of the code first
+        bw.write((code >> j) & 1, 1)
+
+
+def _vp8l_complete_lengths(n: int) -> list[int]:
+    """Lengths of a complete prefix code over n >= 2 equally-weighted
+    symbols: k = 2^L - n symbols get L-1 bits, the rest L."""
+    L = max(1, (n - 1).bit_length())
+    k = (1 << L) - n
+    return [L - 1] * k + [L] * (n - k)
+
+
+def _vp8l_write_code(bw: _VP8LBits, lengths: list[int]) -> dict:
+    """Emit one prefix code (simple if <=2 symbols, else code-length
+    coded) and return the canonical symbol codes for payload emission."""
+    syms = [s for s, l in enumerate(lengths) if l > 0]
+    if len(syms) == 0:
+        raise ValueError("code with no symbols")
+    if len(syms) <= 2 and max(syms) < 256:
+        bw.write(1, 1)                       # simple
+        bw.write(len(syms) - 1, 1)           # num symbols - 1
+        if syms[0] > 1:
+            bw.write(1, 1)                   # 8-bit first symbol
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    # ---- normal path: emit the length sequence via the cl code ----
+    ops: list[tuple[int, int, int]] = []  # (cl symbol, extra, extra_bits)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        v = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r > 0:
+                if r < 3:
+                    ops.extend([(0, 0, 0)] * r)
+                    r = 0
+                elif r <= 10:
+                    ops.append((17, r - 3, 3))
+                    r = 0
+                else:
+                    take = min(r, 138)
+                    ops.append((18, take - 11, 7))
+                    r -= take
+        else:
+            ops.append((v, 0, 0))
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                ops.append((16, take - 3, 2))
+                r -= take
+            ops.extend([(v, 0, 0)] * r)
+        i += run
+    used = sorted({op[0] for op in ops})
+    if len(used) == 1:
+        cl_lengths = {used[0]: 1}
+    else:
+        ls = _vp8l_complete_lengths(len(used))
+        cl_lengths = dict(zip(used, ls))
+    # order-position coverage
+    num_cl = max(_VP8L_CL_ORDER.index(s) for s in used) + 1
+    num_cl = max(num_cl, 4)
+    bw.write(0, 1)                            # not simple
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)                            # no max_symbol shortcut
+    cl_codes = _vp8l_canon(cl_lengths)
+    for s, extra, ebits in ops:
+        _vp8l_write_sym(bw, cl_codes, s)
+        if ebits:
+            bw.write(extra, ebits)
+    return _vp8l_canon({s: l for s, l in enumerate(lengths) if l > 0})
+
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _vp8l_prefix(v: int) -> tuple[int, int, int]:
+    """LZ77 prefix coding: value -> (code symbol, extra value, extra bits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    vm = v - 1
+    hb = vm.bit_length() - 1
+    bit = (vm >> (hb - 1)) & 1
+    return 2 * hb + bit, vm & ((1 << (hb - 1)) - 1), hb - 1
+
+
+def _vp8l_channel_lengths(used: set[int], alphabet: int,
+                          extra_syms: set[int]) -> list[int]:
+    """Code lengths for one channel: simple-eligible sets are returned
+    as-is (the writer picks the simple form); otherwise a complete code:
+    all 256 literals at 8 bits, with symbols 255 and any >=256 extras
+    moved to 9 bits to keep the Kraft sum at exactly 1."""
+    lengths = [0] * alphabet
+    allsyms = used | extra_syms
+    if len(allsyms) <= 2 and max(allsyms) < 256:
+        for s in allsyms:
+            lengths[s] = 1
+        return lengths
+    for s in range(255):
+        lengths[s] = 8
+    if extra_syms:
+        lengths[255] = 9
+        extras = sorted(extra_syms)
+        if len(extras) > 1:
+            raise ValueError("one extra (length) symbol supported")
+        lengths[extras[0]] = 9
+    else:
+        lengths[255] = 8
+    return lengths
+
+
+def _vp8l_encode_image(bw: _VP8LBits, argb: "np.ndarray",
+                       lz77_row_copy: bool = False) -> None:
+    """Entropy-coded image body (no cache, no meta): 5 prefix codes then
+    the pixel stream. ``argb`` is (H, W, 4) uint8 [A,R,G,B]."""
+    h, w = argb.shape[:2]
+    a_ch = argb[:, :, 0]
+    r_ch = argb[:, :, 1]
+    g_ch = argb[:, :, 2]
+    b_ch = argb[:, :, 3]
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix image (sub-images skip this bit at
+    # read time only when allow_meta=False; the main image reads it)
+    lit_rows = 1 if lz77_row_copy else h
+    greens = set(int(v) for v in np.unique(g_ch[:lit_rows]))
+    extra = set()
+    if lz77_row_copy:
+        len_sym, _, _ = _vp8l_prefix(w)
+        extra = {256 + len_sym}
+    g_codes = _vp8l_write_code(
+        bw, _vp8l_channel_lengths(greens, 256 + 24, extra))
+    r_codes = _vp8l_write_code(
+        bw, _vp8l_channel_lengths(
+            set(int(v) for v in np.unique(r_ch[:lit_rows])), 256, set()))
+    b_codes = _vp8l_write_code(
+        bw, _vp8l_channel_lengths(
+            set(int(v) for v in np.unique(b_ch[:lit_rows])), 256, set()))
+    a_codes = _vp8l_write_code(
+        bw, _vp8l_channel_lengths(
+            set(int(v) for v in np.unique(a_ch[:lit_rows])), 256, set()))
+    if lz77_row_copy:
+        dist_sym, dist_extra, dist_ebits = _vp8l_prefix(w + 120)
+        d_lengths = [0] * 40
+        d_lengths[dist_sym] = 1
+        d_codes = _vp8l_write_code(bw, d_lengths)
+    else:
+        d_lengths = [0] * 40
+        d_lengths[0] = 1
+        d_codes = _vp8l_write_code(bw, d_lengths)
+    for y in range(lit_rows):
+        for x in range(w):
+            _vp8l_write_sym(bw, g_codes, int(g_ch[y, x]))
+            _vp8l_write_sym(bw, r_codes, int(r_ch[y, x]))
+            _vp8l_write_sym(bw, b_codes, int(b_ch[y, x]))
+            _vp8l_write_sym(bw, a_codes, int(a_ch[y, x]))
+    if lz77_row_copy:
+        len_sym, len_extra, len_ebits = _vp8l_prefix(w)
+        for _ in range(1, h):
+            _vp8l_write_sym(bw, g_codes, 256 + len_sym)
+            if len_ebits:
+                bw.write(len_extra, len_ebits)
+            _vp8l_write_sym(bw, d_codes, dist_sym)
+            if dist_ebits:
+                bw.write(dist_extra, dist_ebits)
+
+
+def make_webp(arr, subtract_green: bool = False,
+              lz77_row_copy: bool = False) -> bytes:
+    """A valid lossless WEBP (RIFF container + VP8L chunk) from an
+    (H, W, 3|4) uint8 RGB(A) array. Spec-twin of kernels/webp.py
+    (decoder written against the public WebP Lossless Bitstream spec;
+    this encoder is an independent implementation of the same spec).
+    Feature knobs exercise distinct decoder paths:
+
+    - default: literal-coded pixels, simple or complete-8/9-bit codes
+      with code-length repeats (16/17/18);
+    - ``subtract_green``: the subtract-green transform;
+    - ``lz77_row_copy``: rows 1..H-1 coded as one LZ77 back-reference
+      each (length=W, distance=W > the 120-entry 2D map).
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    has_alpha = a.ndim == 3 and a.shape[2] == 4
+    argb = np.zeros((h, w, 4), dtype=np.uint8)
+    argb[:, :, 0] = a[:, :, 3] if has_alpha else 255
+    argb[:, :, 1] = a[:, :, 0]
+    argb[:, :, 2] = a[:, :, 1]
+    argb[:, :, 3] = a[:, :, 2]
+    bw = _VP8LBits()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)  # version
+    coded = argb
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # transform type 2
+        coded = coded.copy()
+        g = coded[:, :, 2]
+        coded[:, :, 1] = (coded[:, :, 1].astype(np.int16) - g) % 256
+        coded[:, :, 3] = (coded[:, :, 3].astype(np.int16) - g) % 256
+    bw.write(0, 1)  # no more transforms
+    _vp8l_encode_image(bw, coded, lz77_row_copy=lz77_row_copy)
+    body = bw.bytes()
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

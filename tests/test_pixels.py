@@ -336,3 +336,121 @@ def test_tiff_out_of_scope_and_fuzz():
             b[rng.randrange(len(b))] = rng.randrange(256)
         out = decode_pixels(bytes(b))
         assert out is None or isinstance(out, np.ndarray)
+
+
+class TestGifComposition:
+    """decode_gif_composited: true animation replay (the verdict's
+    partial-rect two-frame pin, plus transparency and disposal)."""
+
+    def _pal(self):
+        import numpy as np
+
+        return np.array(
+            [[10, 20, 30], [200, 100, 50], [0, 255, 0], [5, 5, 5]],
+            dtype=np.uint8,
+        )
+
+    def test_partial_rect_composites_over_frame1(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import (
+            decode_gif_composited,
+            decode_gif_pixels,
+        )
+        from paddle_spark.sources.synth import make_gif
+
+        pal = self._pal()
+        f0 = np.zeros((10, 12), np.uint8)          # full canvas, color 0
+        f1 = np.full((4, 5), 1, np.uint8)          # partial rect, color 1
+        gif = make_gif([f0, f1], pal, rects=[(0, 0), (3, 2)])
+        out0 = decode_gif_composited(gif, 0)
+        assert (out0 == pal[0]).all() and out0.shape == (10, 12, 3)
+        out1 = decode_gif_composited(gif, 1)
+        expect = np.empty((10, 12, 3), np.uint8)
+        expect[:] = pal[0]
+        expect[2:6, 3:8] = pal[1]
+        assert (out1 == expect).all()
+        # the rectangle-only fast path returns just the 4x5 rect
+        assert decode_gif_pixels(gif, 1).shape == (4, 5, 3)
+
+    def test_transparent_index_leaves_canvas(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_gif_composited
+        from paddle_spark.sources.synth import make_gif
+
+        pal = self._pal()
+        f0 = np.zeros((6, 6), np.uint8)
+        f1 = np.full((6, 6), 3, np.uint8)  # index 3 = transparent
+        f1[2:4, 2:4] = 2                   # only this patch paints
+        gif = make_gif([f0, f1], pal, transparent=[None, 3])
+        out = decode_gif_composited(gif, 1)
+        expect = np.empty((6, 6, 3), np.uint8)
+        expect[:] = pal[0]
+        expect[2:4, 2:4] = pal[2]
+        assert (out == expect).all()
+
+    def test_disposal_restore_background(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_gif_composited
+        from paddle_spark.sources.synth import make_gif
+
+        pal = self._pal()
+        f0 = np.full((6, 8), 1, np.uint8)
+        f1 = np.full((2, 2), 2, np.uint8)
+        f2 = np.full((1, 1), 2, np.uint8)
+        # frame 1 disposes to background (palette bg index 0 per header)
+        gif = make_gif(
+            [f0, f1, f2], pal,
+            rects=[(0, 0), (1, 1), (6, 5)],
+            disposals=[0, 2, 0],
+        )
+        out = decode_gif_composited(gif, 2)
+        expect = np.empty((6, 8, 3), np.uint8)
+        expect[:] = pal[1]
+        expect[1:3, 1:3] = pal[0]   # frame 1's rect restored to bg color
+        expect[5:6, 6:7] = pal[2]   # frame 2 painted
+        assert (out == expect).all()
+
+    def test_disposal_restore_previous(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_gif_composited
+        from paddle_spark.sources.synth import make_gif
+
+        pal = self._pal()
+        f0 = np.full((5, 5), 1, np.uint8)
+        f1 = np.full((3, 3), 2, np.uint8)
+        f2 = np.full((1, 1), 0, np.uint8)
+        gif = make_gif(
+            [f0, f1, f2], pal,
+            rects=[(0, 0), (1, 1), (0, 0)],
+            disposals=[0, 3, 0],   # frame 1 reverts entirely
+        )
+        out = decode_gif_composited(gif, 2)
+        expect = np.empty((5, 5, 3), np.uint8)
+        expect[:] = pal[1]
+        expect[0, 0] = pal[0]
+        assert (out == expect).all()
+
+    def test_frame_sample_uses_composited(self, spark):
+        import numpy as np
+
+        from paddle_spark.operators import multimodal as MM
+        from paddle_spark.sources.synth import make_gif
+
+        pal = self._pal()
+        f0 = np.zeros((6, 6), np.uint8)
+        f1 = np.full((2, 2), 1, np.uint8)  # 4 of 36 canvas px
+        gif = make_gif([f0, f1, f0], pal, rects=[(0, 0), (2, 2), (0, 0)])
+        media = spark.createDataFrame(
+            [(0, bytearray(gif))], "media_id long, payload binary"
+        )
+        out = {r["frame_no"]: r for r in MM.frame_sample(media, every_k=1).collect()}
+        # frame 1 mean = composite of 32 px color0 + 4 px color1, over the
+        # FULL canvas (not the 2x2 rect)
+        exp_r = round((32 * 10 + 4 * 200) / 36, 6)
+        assert out[1]["width"] == 6 and out[1]["height"] == 6
+        assert abs(out[1]["mean_r"] - exp_r) < 1e-6
+        assert out[0]["mean_r"] == 10.0 and out[2]["mean_r"] == 10.0
