@@ -2056,14 +2056,22 @@ FROM agg
 """
 
 
-def _split_tone_media(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _split_tone_media(
+    spark: SparkSession, sf_dir: str, n: int, parity_patch: bool = False
+) -> DataFrame:
     """Two-tone 36x16 grayscale PNG fixtures whose visual features are
     closed-form in doc_id: columns [0, 4m+2) hold shade A = 40+(i*13)%60,
     the rest shade B = A+100, with m = 1 + i%6. The 9x8 dhash grid then
     samples m columns of A, one A/B midpoint, and 8-m of B, so the
     difference hash is exactly (3 << (m-1)) * 0x0101010101010101, and the
     4-bin histogram fractions are (4m+2)/36 at bin A//64 and the rest at
-    bin (A+100)//64."""
+    bin (A+100)//64.
+
+    ``parity_patch``: odd ids additionally get pixel rows 14-15 (exactly
+    dhash grid row 7) overwritten with shade B, zeroing that row's two
+    gradient bits — so same-m pairs sit at Hamming distance 0 (same
+    parity) or exactly 2 (mixed parity), closed-form for the visual
+    near-dup oracle."""
     import numpy as np
     import pandas as pd
 
@@ -2082,6 +2090,8 @@ def _split_tone_media(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
                 a = 40 + (i * 13) % 60
                 img = np.full((16, 36, 3), a + 100, dtype=np.uint8)
                 img[:, : 4 * m + 2] = a
+                if parity_patch and i % 2 == 1:
+                    img[14:16, :] = a + 100
                 payloads.append(make_png(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -2141,6 +2151,31 @@ SELECT i AS media_id,
        (CAST(3 AS BIGINT) << (m - 1)) * 72340172838076673 AS dhash,
        h0, h1, h2, h3, TRUE AS decode_ok
 FROM h
+"""
+
+
+def q_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate detection at scale with an EXACT oracle:
+    banded Hamming join over the pixel dhash (operators/multimodal.
+    visual_near_dups — 16-bit chunk equi-join candidates, xor+bit_count
+    filter, pigeonhole-complete for distance <= 3 with 4 bands). The
+    parity-patched split-tone fixtures put same-m pairs at distance 0 or
+    exactly 2 and all cross-m pairs at >= 14, so the qualifying pair set
+    and each pair's Hamming distance are closed-form in doc_id."""
+    from paddle_spark.operators.multimodal import visual_near_dups
+
+    media = _split_tone_media(spark, sf_dir, 80, parity_patch=True)
+    return visual_near_dups(media, max_hamming=3, n_bands=4)
+
+
+_VISUAL_NEAR_DUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS i, 1 + doc_id % 6 AS m, doc_id % 2 AS par
+  FROM documents WHERE doc_id < 80
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(CASE WHEN a.par = b.par THEN 0 ELSE 2 END AS INT) AS hamming
+FROM d a JOIN d b ON a.i < b.i AND a.m = b.m
 """
 
 
@@ -2283,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_scanned": q_extract_scanned,      # NEW: pixels -> boxes -> text
         "mm_visual_features": q_mm_visual_features,  # NEW: dhash + histogram
         "ann_pixel_topk": q_ann_pixel_topk,        # NEW: ANN over pixel features
+        "visual_near_dup": q_visual_near_dup,      # NEW: banded dhash Hamming join
         # (mm_decode_stub is retired from the registry: decode_media's
         # plumbing is exactly covered by mm_decode_dims' exact oracle, and
         # its digest feature is superseded by mm_visual_features)
@@ -2346,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
         "mm_visual_features": _MM_VISUAL_ORACLE,
         "ann_pixel_topk": _ANN_PIXEL_ORACLE,
+        "visual_near_dup": _VISUAL_NEAR_DUP_ORACLE,
         "extract_html": _EXTRACT_HTML_ORACLE,
         "extract_real_pdf": _EXTRACT_REAL_PDF_ORACLE,
         "mm_pixel_stats": _MM_PIXEL_STATS_ORACLE,

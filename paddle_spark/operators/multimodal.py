@@ -223,6 +223,64 @@ def visual_features(
     return src.mapInPandas(batch, schema=VISUAL_SCHEMA)
 
 
+def visual_near_dups(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "python",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs at scale: banded Hamming join over the
+    pixel dhash (visual_features). The 64-bit hash splits into
+    ``n_bands`` chunks; candidate pairs share at least one identical
+    chunk (an equi-join per band — never an all-pairs comparison), then
+    the exact Hamming distance filters JVM-side (xor + bit_count).
+
+    Pigeonhole completeness: a pair within Hamming distance d must agree
+    on some chunk whenever d < n_bands, so the default (3 < 4) returns
+    EXACTLY the pairs with distance <= max_hamming. Raising max_hamming
+    to >= n_bands makes the result a recall-documented candidate subset
+    — same trade-off as the simhash text banding (operators/dedup.py).
+    """
+    if not 64 % n_bands == 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    vf = visual_features(media, id_col=id_col, payload_col=payload_col,
+                         codec=codec).filter(F.col("decode_ok"))
+    vf = vf.select("media_id", "dhash")
+    chunks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("dhash", b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = vf.select("media_id", "dhash", F.explode(chunks).alias("bc")).select(
+        "media_id", "dhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
 PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -210,3 +210,33 @@ def test_pixel_codec_knob(spark):
     except ImportError:
         with pytest.raises(ImportError, match="PIL"):
             MM.pixel_stats(media, codec="native")
+
+
+def test_visual_near_dups_banded_hamming(spark):
+    """Banded dhash Hamming join: exact pairs for distance <= n_bands-1,
+    no all-pairs comparison (equi-join candidates only)."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_png
+
+    def img(split, patch):
+        x = np.full((16, 36, 3), 140, dtype=np.uint8)
+        x[:, :split] = 40
+        if patch:
+            x[14:16, :] = 140  # zeroes dhash row 7 -> Hamming 2 vs unpatched
+        return bytearray(make_png(x))
+
+    rows = [
+        (0, img(6, False)),
+        (1, img(6, False)),   # dup of 0 -> hamming 0
+        (2, img(6, True)),    # near-dup   -> hamming 2
+        (3, img(22, False)),  # different structure -> far
+        (4, bytearray(b"junk")),  # decode failure: excluded
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in MM.visual_near_dups(media, max_hamming=3).collect()}
+    assert out == {(0, 1): 0, (0, 2): 2, (1, 2): 2}
+    # the join is banded equi-join, not a cartesian/BNLJ
+    plan = MM.visual_near_dups(media)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
