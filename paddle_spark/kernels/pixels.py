@@ -25,11 +25,16 @@ Scope (graceful degradation, never an exception escaping decode_pixels):
   stats); ``decode_gif_composited`` replays the animation — frame
   placement, transparency, disposal methods 0-3 — onto the logical
   canvas for true composited frames.
-- Resize: bilinear SAMPLING (half-pixel centers). PIL's BILINEAR uses a
-  triangle filter whose taps widen on downscale, so outputs are not
-  bit-identical to the reference's PIL call — the resize stays a
-  documented approximation; dims/means of the constructions used by the
-  driver oracle are exact.
+- Resize: TWO paths. ``resize_pil_bilinear`` (preprocess default)
+  implements Pillow's published two-pass ImagingResample BILINEAR —
+  triangle filter with support widening on downscale, per-window
+  normalization, 22-bit fixed-point coefficients, 8-bit re-quantization
+  between passes — i.e. the reference's PIL call re-derived from the
+  public algorithm (bit-parity is the design goal; no PIL exists here
+  to cross-check, so it is pinned by closed-form cases instead).
+  ``resize_bilinear`` is the cheaper half-pixel-center SAMPLER, kept
+  for the dhash grid. Dims/means of the driver-oracle constructions
+  are exact under both.
 """
 
 from __future__ import annotations
@@ -653,14 +658,99 @@ def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+_PIL_PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c PRECISION_BITS
+
+
+def _pil_coeffs(in_size: int, out_size: int):
+    """Per-output-pixel triangle-filter windows exactly as Pillow's
+    ImagingResample computes them for BILINEAR (support 1.0): float
+    weights normalized per window, then quantized to fixed point with
+    round-half-away (Pillow's (int)(w * 2^22 ± 0.5))."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = filterscale
+    kmax = int(np.ceil(support)) * 2 + 1
+    idx = np.zeros((out_size, kmax), dtype=np.int64)
+    kk = np.zeros((out_size, kmax), dtype=np.int64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        if xmin < 0:
+            xmin = 0
+        xmax = int(center + support + 0.5)
+        if xmax > in_size:
+            xmax = in_size
+        n = xmax - xmin
+        ws = []
+        for x in range(n):
+            d = abs((x + xmin - center + 0.5) / filterscale)
+            ws.append(1.0 - d if d < 1.0 else 0.0)
+        total = sum(ws)
+        if total:
+            ws = [w / total for w in ws]
+        for x, w in enumerate(ws):
+            q = w * (1 << _PIL_PRECISION_BITS)
+            kk[xx, x] = int(q + 0.5) if w > 0 else int(q - 0.5)
+            idx[xx, x] = xmin + x
+        # padding columns keep weight 0 and a valid gather index
+        idx[xx, n:] = min(xmin + max(n - 1, 0), in_size - 1)
+    return idx, kk
+
+
+def _pil_pass(img: np.ndarray, idx: np.ndarray, kk: np.ndarray, axis: int) -> np.ndarray:
+    """One Pillow resample pass along ``axis`` with 8-bit fixed-point
+    accumulation (bias + Σ px*k) >> PRECISION_BITS, clipped — the
+    inter-pass re-quantization is part of the bit-exact behavior."""
+    bias = 1 << (_PIL_PRECISION_BITS - 1)
+    if axis == 1:  # horizontal: (H, W, C) -> (H, out_w, C)
+        gathered = img[:, idx, :].astype(np.int64)  # (H, out, kmax, C)
+        acc = bias + (gathered * kk[None, :, :, None]).sum(axis=2)
+    else:  # vertical
+        gathered = img[idx, :, :].astype(np.int64)  # (out, kmax, H?, ...)
+        acc = bias + (gathered * kk[:, :, None, None]).sum(axis=1)
+    out = acc >> _PIL_PRECISION_BITS
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def resize_pil_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """PIL-parity BILINEAR resize: Pillow's published two-pass
+    ImagingResample algorithm — triangle filter whose support widens
+    with the scale on downscale, per-window weight normalization, 22-bit
+    fixed-point coefficients, and 8-bit re-quantization between the
+    horizontal and vertical passes. Implements the algorithm exactly as
+    published (Resample.c); bit-parity with a real Pillow is the design
+    goal but is unverifiable in this runtime (no PIL installed) — pinned
+    here by closed-form cases (identity, solid, exact-half downscale,
+    linear-ramp interior) and bounds tests instead."""
+    h, w = img.shape[:2]
+    if (w, h) == (new_w, new_h):
+        return img
+    out = img
+    if new_w != w:
+        idx, kk = _pil_coeffs(w, new_w)
+        out = _pil_pass(out, idx, kk, axis=1)
+    if new_h != h:
+        idx, kk = _pil_coeffs(h, new_h)
+        out = _pil_pass(out, idx, kk, axis=0)
+    return np.ascontiguousarray(out)
+
+
 def preprocess_frame(
-    img: np.ndarray, max_dim: int = 6000
+    img: np.ndarray, max_dim: int = 6000, resample: str = "pil"
 ) -> tuple[np.ndarray, int, int]:
     """The reference's full frame preprocessing: 3-channel normalize ->
-    downscale cap -> BGR. Returns (bgr_image, out_w, out_h)."""
+    downscale cap -> BGR. Returns (bgr_image, out_w, out_h).
+
+    ``resample``: 'pil' (default) = Pillow's published two-pass triangle
+    filter incl. fixed-point rounding — the reference calls PIL resize
+    (model.py:355-364), so this is the parity path; 'sampling' = the
+    half-pixel-center bilinear SAMPLER (cheaper, kept for the dhash
+    grid and as the documented approximation). Both are exact on solid
+    colors, so the driver oracles hold under either."""
     img = to_3ch(img)
     h, w = img.shape[:2]
     nw, nh = capped_size(w, h, max_dim)
     if (nw, nh) != (w, h):
-        img = resize_bilinear(img, nw, nh)
+        resize = resize_pil_bilinear if resample == "pil" else resize_bilinear
+        img = resize(img, nw, nh)
     return rgb_to_bgr(img), nw, nh

@@ -454,3 +454,78 @@ class TestGifComposition:
         assert out[1]["width"] == 6 and out[1]["height"] == 6
         assert abs(out[1]["mean_r"] - exp_r) < 1e-6
         assert out[0]["mean_r"] == 10.0 and out[2]["mean_r"] == 10.0
+
+
+class TestPilParityResize:
+    """resize_pil_bilinear: Pillow's published two-pass triangle-filter
+    algorithm with 22-bit fixed-point coefficients. No PIL exists in
+    this runtime, so parity is pinned by the algorithm's closed-form
+    behaviors instead of a direct comparison."""
+
+    def test_identity_same_size(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import resize_pil_bilinear
+
+        img = np.random.RandomState(0).randint(0, 256, (7, 9, 3), dtype=np.uint8)
+        assert (resize_pil_bilinear(img, 9, 7) == img).all()
+
+    def test_solid_exact(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import resize_pil_bilinear
+
+        solid = np.full((20, 30, 3), (13, 200, 90), np.uint8)
+        out = resize_pil_bilinear(solid, 7, 5)
+        assert (out == solid[0, 0]).all()
+
+    def test_linear_ramp_interior_closed_form(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import resize_pil_bilinear
+
+        # f(x) = 4x sampled 16 -> 8 at scale 2: the normalized triangle
+        # window is affine-exact, so interior outputs are f(2k + 0.5)
+        ramp = (np.arange(16) * 4).astype(np.uint8)[None, :].repeat(6, 0)
+        out = resize_pil_bilinear(ramp[:, :, None].repeat(3, 2), 8, 6)
+        assert out[2, 1:7, 0].tolist() == [10, 18, 26, 34, 42, 50]
+
+    def test_upscale_bounds_and_monotone(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import resize_pil_bilinear
+
+        ramp = (np.arange(8) * 30).astype(np.uint8)[None, :].repeat(4, 0)
+        out = resize_pil_bilinear(ramp[:, :, None].repeat(3, 2), 23, 9)
+        row = out[4, :, 0].astype(int)
+        assert (np.diff(row) >= 0).all()
+        assert row.min() >= 0 and row.max() <= 210
+
+    def test_differs_from_sampler_on_downscale(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import (
+            resize_bilinear,
+            resize_pil_bilinear,
+        )
+
+        # downscale of a checkerboard: the sampler reads 2 taps, the
+        # triangle filter averages the widened support — must differ
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[::2] = 255
+        a = resize_pil_bilinear(img, 4, 4)
+        b = resize_bilinear(img, 4, 4)
+        assert not (a == b).all()
+        # the filter's average of an even checkerboard is mid-gray-ish
+        assert 100 <= a[1:3, 1:3, 0].mean() <= 155
+
+    def test_preprocess_frame_resample_knob(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import preprocess_frame
+
+        solid = np.full((300, 200, 3), (9, 90, 190), np.uint8)
+        for mode in ("pil", "sampling"):
+            bgr, ow, oh = preprocess_frame(solid, max_dim=128, resample=mode)
+            assert (ow, oh) == (85, 128)
+            assert (bgr[0, 0] == (190, 90, 9)).all()
