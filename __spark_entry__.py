@@ -2154,6 +2154,72 @@ FROM h
 """
 
 
+def q_extract_scanned_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCANNED PDFs through the PRODUCTION extraction pipeline with an
+    EXACT oracle: one-page PDFs whose only content is an embedded image
+    XObject of the rendered page scan — half 8-bpc gray behind
+    /FlateDecode, half /DCTDecode (the raw stream IS a baseline JPEG,
+    the real scanner-output layout). extract_pages classifies them as
+    PDF, finds no text layer, decodes the page image from the object
+    graph (kernels/pdf.py), and runs the deterministic OCR chain
+    (kernels/scan.py) inside the same page assembly — the reference's
+    core dataflow (model.py:300-337) as one driver-checked row."""
+    import pandas as pd
+
+    from paddle_spark.operators.extract_job import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_pdf(batches):
+        from paddle_spark.sources.synth import make_scanned_pdf
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            yield pd.DataFrame(
+                {
+                    "url": [f"scanpdf://{i}" for i in ids],
+                    "warc_ts": [None] * len(ids),
+                    "html": [
+                        make_scanned_pdf(i, "dct" if i % 2 else "flate")
+                        for i in ids
+                    ],
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    pages = docs.mapInPandas(
+        to_pdf, schema="url string, warc_ts timestamp, html binary, lang string"
+    )
+    return extract_pages(pages, n_partitions=8).select(
+        "url", "text", "n_blocks_kept", "n_blocks_dropped", "parse_ok", "branch"
+    )
+
+
+_EXTRACT_SCANNED_PDF_ORACLE = """
+WITH docs AS (SELECT doc_id AS i FROM documents WHERE doc_id < 100),
+ln AS (
+  SELECT i, 0 AS j, 'DOC ' || i AS t FROM docs
+  UNION ALL
+  SELECT d.i, g.j, 'LINE ' || g.j || ' CODE ' || ((d.i*31+g.j)%97) AS t
+  FROM docs d,
+       LATERAL (SELECT unnest(generate_series(1, 1 + CAST(d.i % 4 AS INT))) AS j) g
+),
+agg AS (
+  SELECT i, string_agg(t, chr(10) ORDER BY j) AS body, COUNT(*) AS n_lines
+  FROM ln GROUP BY i
+)
+SELECT 'scanpdf://' || i AS url,
+       '=== PAGE 1 ===' || chr(10) || chr(10) || body || chr(10) AS text,
+       CAST(n_lines AS INT) AS n_blocks_kept,
+       CAST(i % 3 AS INT) AS n_blocks_dropped,
+       TRUE AS parse_ok,
+       'layout' AS branch
+FROM agg
+"""
+
+
 def q_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection at scale with an EXACT oracle:
     banded Hamming join over the pixel dhash (operators/multimodal.
@@ -2316,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round: run first ---
         "extract_scanned": q_extract_scanned,      # NEW: pixels -> boxes -> text
+        "extract_scanned_pdf": q_extract_scanned_pdf,  # NEW: scanned PDF fallback
         "mm_visual_features": q_mm_visual_features,  # NEW: dhash + histogram
         "ann_pixel_topk": q_ann_pixel_topk,        # NEW: ANN over pixel features
         "visual_near_dup": q_visual_near_dup,      # NEW: banded dhash Hamming join
@@ -2380,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
+        "extract_scanned_pdf": _EXTRACT_SCANNED_PDF_ORACLE,
         "mm_visual_features": _MM_VISUAL_ORACLE,
         "ann_pixel_topk": _ANN_PIXEL_ORACLE,
         "visual_near_dup": _VISUAL_NEAR_DUP_ORACLE,

@@ -142,6 +142,12 @@ class ExtractConfig:
     # (refuse at plan construction — header/metadata-only jobs). The knob
     # exists so a 100-TB job can't silently run per-bit Huffman decode.
     pixel_codec: str = "python"
+    # Scanned-PDF fallback: pages with no text layer but embedded image
+    # XObjects run the deterministic OCR chain (kernels/scan.py) over the
+    # decoded page images. On by default: born-digital pages never reach
+    # it (images decode lazily only for boxless pages), so the hot path
+    # is untouched.
+    ocr_scanned_pdfs: bool = True
 
     def layout_threshold(self, label_id: int) -> float:
         return LAYOUT_THRESHOLDS.get(label_id, 0.5)

@@ -212,6 +212,24 @@ def extract_layout(
     later_fmt = MD_PAGE_SEPARATOR_FMT if markdown else PAGE_SEPARATOR_FMT
     for page_idx, page in enumerate(pages):
         blocks, dropped = process_page(page, cfg)
+        if not blocks and page.get("images") and cfg.ocr_scanned_pdfs:
+            # scanned page: no text layer, embedded raster(s). Run the
+            # deterministic OCR chain (binarize -> components -> line
+            # group -> reading order -> template match) per image; each
+            # recognized line becomes an ocr_text block in page order —
+            # the reference's image -> boxes -> text loop
+            # (model.py:300-337) inside the SAME page assembly.
+            from paddle_spark.kernels.scan import ocr_page
+
+            for img in page["images"]:
+                r = ocr_page(img, cfg)
+                dropped += r.n_dropped
+                if r.text:
+                    blocks = blocks + [
+                        {"label": "ocr_text", "text": ln}
+                        for ln in r.text.split("\n")
+                        if ln
+                    ]
         n_dropped += dropped
         parts.append((later_fmt if page_idx > 0 else first_fmt).format(n=page_idx + 1))
         for blk in blocks:

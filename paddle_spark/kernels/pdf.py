@@ -139,7 +139,9 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _stream_bytes(body: bytes) -> bytes | None:
+def _raw_stream(body: bytes) -> bytes | None:
+    """The stream payload WITHOUT filter application (e.g. the embedded
+    JPEG file of a /DCTDecode image XObject)."""
     m = _STREAM_START_RE.search(body)
     if not m:
         return None
@@ -164,6 +166,14 @@ def _stream_bytes(body: bytes) -> bytes | None:
             raw = raw[:-2]
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
+    return raw
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    raw = _raw_stream(body)
+    if raw is None:
+        return None
+    m = _STREAM_START_RE.search(body)
     head = body[: m.start()]
     if b"/Filter" in head:
         try:
@@ -698,6 +708,77 @@ def _runs_to_boxes(
     return boxes
 
 
+_IMG_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_NUM_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_NUM_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_DCT_RE = re.compile(rb"/DCTDecode\b")
+_DEVRGB_RE = re.compile(rb"/ColorSpace\s*/DeviceRGB\b")
+
+
+def _decode_image_xobject(body: bytes):
+    """Decode one /Subtype /Image XObject to an ndarray (gray (H,W) or
+    RGB (H,W,3) uint8), or None when out of scope. Supported sample
+    layouts: 8-bpc DeviceGray/DeviceRGB behind the standard filter chain
+    (Flate/LZW/AHx/A85/RL), and /DCTDecode whose raw stream IS a JPEG
+    file (kernels/jpeg.py decodes it). The reference's scanned inputs
+    are exactly these (scanner output = JPEG-in-PDF)."""
+    import numpy as np
+
+    if not _IMG_SUBTYPE_RE.search(body):
+        return None
+    wm = _WIDTH_NUM_RE.search(body)
+    hm = _HEIGHT_NUM_RE.search(body)
+    if not (wm and hm):
+        return None
+    w, h = int(wm[1]), int(hm[1])
+    if w <= 0 or h <= 0 or w * h > 1 << 26:  # bounded-memory guard
+        return None
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    head = body[: sm.start()]
+    raw = _raw_stream(body)
+    if raw is None:
+        return None
+    if _DCT_RE.search(head):
+        from paddle_spark.kernels.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(raw)
+    bm = _BPC_RE.search(body)
+    if bm and int(bm[1]) != 8:
+        return None
+    try:
+        data = _apply_filters(raw, head) if b"/Filter" in head else raw
+    except Exception:
+        return None
+    if data is None:
+        return None
+    nch = 3 if _DEVRGB_RE.search(body) else 1
+    if len(data) < w * h * nch:
+        return None
+    arr = np.frombuffer(data[: w * h * nch], dtype=np.uint8)
+    return arr.reshape(h, w, 3) if nch == 3 else arr.reshape(h, w)
+
+
+def _page_images(page_body: bytes, objs: dict[int, bytes]) -> list:
+    """Decoded image XObjects referenced by a page's /Resources."""
+    res = _resolve_dict(page_body, b"/Resources", objs)
+    if res is None:
+        return []
+    xo = _resolve_dict(res, b"/XObject", objs)
+    if xo is None:
+        return []
+    images = []
+    for m in _FONT_REF_RE.finditer(xo):
+        ref = int(m[2])
+        if ref in objs:
+            img = _decode_image_xobject(objs[ref])
+            if img is not None:
+                images.append(img)
+    return images
+
+
 def pdf_to_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
     """Parse a real ``%PDF`` payload into the synthetic-detector page shape
     ``[{page_no, width, height, boxes}]``. Raises ValueError when the file
@@ -731,5 +812,15 @@ def pdf_to_pages(payload: bytes, max_pages: int | None = None) -> list[dict]:
             if cs
             else []
         )
-        pages.append({"page_no": idx, "width": w, "height": h, "boxes": boxes})
+        page = {"page_no": idx, "width": w, "height": h, "boxes": boxes}
+        if not boxes:
+            # text-layer-less page: a SCANNED page (the reference's core
+            # input, model.py:300-337). Decode its embedded image
+            # XObjects so the OCR fallback (kernels/scan.py via
+            # layout.extract_layout) can run; decoded lazily only for
+            # boxless pages, so born-digital docs pay nothing.
+            imgs = _page_images(body, objs)
+            if imgs:
+                page["images"] = imgs
+        pages.append(page)
     return pages

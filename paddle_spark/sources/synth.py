@@ -283,6 +283,11 @@ def make_real_pdf(page_texts: list[list[str]], compress: bool = False) -> bytes:
                 b"<< /Length " + str(len(cs)).encode()
                 + b" >>\nstream\n" + cs + b"\nendstream"
             )
+    return _pdf_serialize(objs)
+
+
+def _pdf_serialize(objs: dict[int, bytes]) -> bytes:
+    """Body + correct xref + trailer for a dict of object bodies."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(objs):
@@ -1307,3 +1312,51 @@ def make_webp(arr, subtract_green: bool = False,
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def make_scanned_pdf(i: int, codec: str = "flate") -> bytes:
+    """A valid SCANNED-style PDF for doc ``i``: one page whose only
+    content is an embedded image XObject of the rendered page scan
+    (scanned_lines/render_page — same closed-form text as the standalone
+    scanned fixtures), placed by a ``cm /Im0 Do`` content stream with NO
+    text layer. ``codec``: 'flate' = 8-bpc DeviceGray raw samples behind
+    /FlateDecode; 'dct' = the raw stream IS a baseline JPEG
+    (/DCTDecode) — the real-world scanner output layout. Exercises the
+    PDF -> embedded image -> pixels -> OCR fallback end-to-end."""
+    import zlib as _zlib
+
+    from paddle_spark.kernels.font import render_page
+
+    img = render_page(scanned_lines(i))
+    for s in range(i % 3):
+        img[1, 1 + 5 * s] = 0
+    h, w = img.shape
+    if codec == "dct":
+        data = make_jpeg(img)
+        filt = b"/Filter /DCTDecode"
+    else:
+        data = _zlib.compress(img.tobytes())
+        filt = b"/Filter /FlateDecode"
+    objs: dict[int, bytes] = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 "
+        + f"{w} {h}".encode() + b"] >>"
+    )
+    objs[3] = (
+        b"<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        b"<< /Im0 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    cs = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+    objs[4] = (
+        b"<< /Length " + str(len(cs)).encode() + b" >>\nstream\n"
+        + cs + b"\nendstream"
+    )
+    objs[5] = (
+        b"<< /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /BitsPerComponent 8 /ColorSpace /DeviceGray "
+        + filt + b" /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream"
+    )
+    return _pdf_serialize(objs)

@@ -192,3 +192,72 @@ class TestOperator:
         out = {r["url"]: r for r in extract_scanned(spark.createDataFrame(pdf)).collect()}
         assert out["scan://ok"]["parse_ok"]
         assert not out["scan://bad"]["parse_ok"]
+
+
+class TestScannedPdf:
+    """PDF -> embedded image XObject -> pixels -> OCR fallback
+    (kernels/pdf._page_images + layout.extract_layout)."""
+
+    def test_flate_gray_roundtrip(self):
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.sources.synth import make_scanned_pdf, scanned_lines
+
+        for i in (0, 5, 17):
+            r = extract_document(make_scanned_pdf(i, "flate"))
+            exp = "=== PAGE 1 ===\n\n" + "".join(
+                ln + "\n" for ln in scanned_lines(i)
+            )
+            assert r.parse_ok and r.branch == "layout"
+            assert r.text == exp
+            assert r.n_blocks_kept == len(scanned_lines(i))
+            assert r.n_blocks_dropped == i % 3
+
+    def test_dct_jpeg_stream_roundtrip(self):
+        # /DCTDecode: the raw stream IS a baseline JPEG; the OCR margins
+        # survive quant=8 reconstruction on the whole id range (also
+        # pinned at driver scale by extract_scanned_pdf)
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.sources.synth import make_scanned_pdf, scanned_lines
+
+        r = extract_document(make_scanned_pdf(9, "dct"))
+        assert r.parse_ok
+        assert r.text.endswith(scanned_lines(9)[-1] + "\n")
+
+    def test_rgb_flate_xobject(self):
+        import zlib
+
+        import numpy as np
+
+        from paddle_spark.kernels.pdf import _decode_image_xobject
+
+        img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        data = zlib.compress(img.tobytes())
+        body = (
+            b"<< /Subtype /Image /Width 5 /Height 4 /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceRGB /Filter /FlateDecode /Length "
+            + str(len(data)).encode() + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        out = _decode_image_xobject(body)
+        assert out.shape == (4, 5, 3) and (out == img).all()
+
+    def test_gate_off_keeps_zero_blocks(self):
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.operators.extract_job import with_config
+        from paddle_spark.sources.synth import make_scanned_pdf
+
+        r = extract_document(
+            make_scanned_pdf(3), with_config(ocr_scanned_pdfs=False)
+        )
+        assert r.parse_ok and r.n_blocks_kept == 0
+        assert "DOC" not in r.text
+
+    def test_born_digital_pdfs_unaffected(self):
+        # text-layer pages never reach the image fallback (lazy decode
+        # only for boxless pages)
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.sources.synth import make_real_pdf
+
+        p = make_real_pdf([["Hello world line one", "Second line"]])
+        r = extract_document(p)
+        assert r.parse_ok and "Hello world line one" in r.text
+        assert r.branch == "layout"
