@@ -2380,12 +2380,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row every round. Newest / previously-unverified entries still run
     first; two-round-stable entries run last."""
     return {
-        # --- new this round: run first ---
+        # --- NEW NAMES this round run first (never driver-checked before:
+        # the new operators AND the consolidated suite entries, whose
+        # branches were green under their old names through r03) ---
         "extract_scanned": q_extract_scanned,      # NEW: pixels -> boxes -> text
         "extract_scanned_pdf": q_extract_scanned_pdf,  # NEW: scanned PDF fallback
         "mm_visual_features": q_mm_visual_features,  # NEW: dhash + histogram
         "ann_pixel_topk": q_ann_pixel_topk,        # NEW: ANN over pixel features
         "visual_near_dup": q_visual_near_dup,      # NEW: banded dhash Hamming join
+        "filters_suite": q_filters_suite,          # F2/F3+F5+F6+F10 consolidated
+        "string_kernels": q_string_kernels,        # X1/X3/X4/X6 + regex
+        "url_kernels": q_url_kernels,              # canonicalize + outlinks
+        "relational_core": q_relational_core,      # Q1/Q5-shape + cube + distinct
+        "windows_limits": q_windows_limits,        # top-k/rownum/flags/sets/trunc
         # (mm_decode_stub is retired from the registry: decode_media's
         # plumbing is exactly covered by mm_decode_dims' exact oracle, and
         # its digest feature is superseded by mm_visual_features)
@@ -2408,8 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout_markdown": q_extract_layout_markdown,
         "extract_blocks": q_extract_blocks,
         "classify_payloads": q_classify_payloads,
-        # --- filters (consolidated: F2/F3 + F5 + F6 + F10) ---
-        "filters_suite": q_filters_suite,
         # --- joins ---
         "computed_key_join": q_computed_key_join,
         "left_join_coalesce": q_left_join_coalesce,
@@ -2434,13 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_aggregates": q_counter_aggregates,
         "status_aggregation": q_status_aggregation,
         "sessionize": q_sessionize,
-        # --- strings / scalars / time (consolidated: X1/X3/X4/X6 + URL) ---
-        "string_kernels": q_string_kernels,
-        "url_kernels": q_url_kernels,
         "time_buckets": q_time_buckets,
-        # --- stable two-round greens, consolidated (relational + windows) ---
-        "relational_core": q_relational_core,
-        "windows_limits": q_windows_limits,
     }
 
 
