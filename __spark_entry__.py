@@ -1862,17 +1862,19 @@ FROM d
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling with an EXACT oracle: animated GIFs (1..6 frames,
-    real per-frame LZW data, graphic-control extensions) whose frame f is
-    solid palette color closed-form in (doc_id, f). frame_sample walks
-    every 2nd frame, decodes each for real, and reports dims + channel
-    means — the 1-row -> N-frame-rows fan-out (U5) over animation
-    payloads, reference cap semantics model.py:344-351."""
+    """Frame sampling with an EXACT oracle over TWO animation
+    containers: even ids are animated GIFs (1..6 frames, real per-frame
+    LZW, graphic-control extensions), odd ids are APNGs (acTL/fcTL/fdAT
+    chunks, per-frame deflate) — frame f of either is a solid color
+    closed-form in (doc_id, f), so ONE oracle covers both. frame_sample
+    walks every 2nd frame, composites/decodes each for real, and reports
+    dims + channel means — the 1-row -> N-frame-rows fan-out (U5),
+    reference cap semantics model.py:344-351."""
     import numpy as np
     import pandas as pd
 
     from paddle_spark.operators.multimodal import frame_sample
-    from paddle_spark.sources.synth import make_gif
+    from paddle_spark.sources.synth import make_apng, make_gif
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 150
@@ -1890,8 +1892,17 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (i * 19 + f * 11) % 256]
                     for f in range(nf)
                 ]
-                frames = [np.full((h, w), f, dtype=np.uint8) for f in range(nf)]
-                payloads.append(make_gif(frames, pal))
+                if i % 2:
+                    rgb = [
+                        np.full((h, w, 3), pal[f], dtype=np.uint8)
+                        for f in range(nf)
+                    ]
+                    payloads.append(make_apng(rgb))
+                else:
+                    frames = [
+                        np.full((h, w), f, dtype=np.uint8) for f in range(nf)
+                    ]
+                    payloads.append(make_gif(frames, pal))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(to_gif, schema="media_id long, payload binary")

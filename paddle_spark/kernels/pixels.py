@@ -25,6 +25,9 @@ Scope (graceful degradation, never an exception escaping decode_pixels):
   stats); ``decode_gif_composited`` replays the animation — frame
   placement, transparency, disposal methods 0-3 — onto the logical
   canvas for true composited frames.
+- APNG: ``decode_apng_composited`` replays acTL/fcTL/fdAT animations —
+  per-frame deflate sub-images through the same unfilter machinery,
+  placement, dispose 0/1/2, blend source/alpha-over.
 - Resize: TWO paths. ``resize_pil_bilinear`` (preprocess default)
   implements Pillow's published two-pass ImagingResample BILINEAR —
   triangle filter with support widening on downscale, per-window
@@ -289,6 +292,119 @@ def decode_gif_pixels(p: bytes, frame: int = 0) -> np.ndarray | None:
             return None
         else:
             return None
+    return None
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """Any 8-bit PNG sample layout -> (H, W, 4) RGBA."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    h, w = img.shape[:2]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if c == 1:
+        out[:, :, :3] = img
+        out[:, :, 3] = 255
+    elif c == 2:
+        out[:, :, :3] = img[:, :, :1]
+        out[:, :, 3] = img[:, :, 1]
+    elif c == 3:
+        out[:, :, :3] = img
+        out[:, :, 3] = 255
+    else:
+        out[:] = img
+    return out
+
+
+def decode_apng_composited(p: bytes, frame: int = 0) -> np.ndarray | None:
+    """Frame ``frame`` of an APNG as the composited (H, W, 4) RGBA
+    canvas (PNG third-edition animation chunks): fcTL placement,
+    dispose_op 0/1/2 (none / clear-to-transparent / restore-previous)
+    and blend_op 0/1 (source / alpha-over, float64 'over' per the spec
+    formula, rounded half-even via np.rint). Frames whose fcTL precedes
+    IDAT make the IDAT image frame 0; otherwise the IDAT is the static
+    fallback image and frame indexing starts at the first fdAT frame.
+    Returns None for non-APNG payloads (no acTL) or out-of-scope color
+    layouts — callers degrade to the still-image path."""
+    if len(p) < 41 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    cw, ch = struct.unpack(">II", p[16:24])
+    depth, ctype, _comp, _filt, interlace = p[24:29]
+    if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+        return None
+    if not (0 < cw <= 1 << 15 and 0 < ch <= 1 << 15) or cw * ch > 1 << 26:
+        return None
+    nch = _CHANNELS[ctype]
+    # chunk walk: collect fcTL/IDAT/fdAT stream in order
+    has_actl = False
+    frames: list[dict] = []  # {x, y, w, h, dispose, blend, data: bytearray}
+    pending: dict | None = None
+    idat_in_anim = False
+    i = 8
+    n = len(p)
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", p[i : i + 4])
+        tag = p[i + 4 : i + 8]
+        data = p[i + 8 : i + 8 + clen]
+        if tag == b"acTL":
+            has_actl = True
+        elif tag == b"fcTL" and len(data) >= 26:
+            if pending is not None:
+                frames.append(pending)
+            fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+            pending = {
+                "x": fx, "y": fy, "w": fw, "h": fh,
+                "dispose": data[24], "blend": data[25],
+                "data": bytearray(),
+            }
+        elif tag == b"IDAT":
+            if pending is not None:  # fcTL before IDAT: frame 0
+                pending["data"] += data
+                idat_in_anim = True
+        elif tag == b"fdAT" and len(data) > 4:
+            if pending is not None:
+                pending["data"] += data[4:]  # strip sequence number
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if pending is not None:
+        frames.append(pending)
+    if not has_actl or not frames or not idat_in_anim:
+        return None  # static PNG (or IDAT outside the animation): not ours
+    if frame >= len(frames):
+        return None
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    for k, fr in enumerate(frames[: frame + 1]):
+        fw, fh, fx, fy = fr["w"], fr["h"], fr["x"], fr["y"]
+        if fw == 0 or fh == 0 or fx + fw > cw or fy + fh > ch:
+            return None
+        try:
+            flat = np.frombuffer(zlib.decompress(bytes(fr["data"])), dtype=np.uint8)
+        except zlib.error:
+            return None
+        stride = fw * nch
+        if flat.size != fh * (1 + stride):
+            return None
+        sub = _unfilter(flat.reshape(fh, 1 + stride), fh, stride, nch)
+        src = _to_rgba(sub.reshape(fh, fw, nch))
+        prev = canvas.copy() if fr["dispose"] == 2 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if fr["blend"] == 0:
+            region[:] = src
+        else:  # over
+            sa = src[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = src[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            region[:, :, :3] = np.clip(np.rint(rgb / safe), 0, 255).astype(np.uint8)
+            region[:, :, 3:4] = np.clip(np.rint(oa * 255.0), 0, 255).astype(np.uint8)
+        if k == frame:
+            return np.ascontiguousarray(canvas)
+        if fr["dispose"] == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif fr["dispose"] == 2 and prev is not None:
+            canvas = prev
     return None
 
 

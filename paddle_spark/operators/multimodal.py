@@ -388,12 +388,14 @@ def frame_sample(
     """Frame sampling over animated payloads (U5-style fan-out: 1 media
     row -> N sampled-frame rows). Frame count comes from the header walk
     (kernels/raster.py); every ``every_k``-th frame up to ``max_frames``
-    decodes for real (GIF LZW per-frame; PNG/BMP = frame 0) and reports
+    decodes for real (GIF LZW and APNG fdAT per-frame, fully composited;
+    still PNG/BMP/... = frame 0) and reports
     dims + channel means. The cap mirrors the reference's
     max-frames-per-request bound (model.py:344-351); non-animated or
     undecodable payloads simply emit fewer (or zero) rows — per-item
     isolation, never task failure."""
     from paddle_spark.kernels.pixels import (
+        decode_apng_composited,
         decode_gif_composited,
         decoder_for,
     )
@@ -412,11 +414,15 @@ def frame_sample(
             return np.asarray(im.convert("RGB"))
     else:
         def decode_frame(p, fno):
+            # COMPOSITED frames: placement + transparency + disposal
+            # replayed on the canvas, so a sampled frame of an optimized
+            # animation is the image a viewer would show
             if p[:6] in (b"GIF87a", b"GIF89a"):
-                # COMPOSITED frames: placement + transparency + disposal
-                # replayed on the canvas, so a sampled frame of an
-                # optimized animation is the image a viewer would show
                 return decode_gif_composited(p, frame=fno)
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and b"acTL" in p:
+                apng = decode_apng_composited(p, frame=fno)
+                if apng is not None:
+                    return apng
             return decode(p) if fno == 0 else None
 
     src = media.select(

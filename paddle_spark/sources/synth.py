@@ -361,32 +361,20 @@ def make_warc(
     return b"".join(out)
 
 
-def make_png(arr, filter_types: list[int] | None = None) -> bytes:
-    """A valid PNG (RFC 2083 framing: IHDR/IDAT/IEND + CRC32) from an
-    (H, W), (H, W, 1|2|3|4) uint8 array. ``filter_types`` picks the
-    forward scanline filter per row (cycled; default all-0) so decoder
-    unfiltering paths 0-4 are exercised by construction. Color type from
-    channel count: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
     import zlib as _zlib
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, nch = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    bpp = nch
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            len(data).to_bytes(4, "big") + tag + data
-            + _zlib.crc32(tag + data).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+    return (
+        len(data).to_bytes(4, "big") + tag + data
+        + _zlib.crc32(tag + data).to_bytes(4, "big")
     )
-    fts = filter_types or [0]
+
+
+def _png_scanlines(a: "np.ndarray", fts: list[int]) -> bytes:
+    """Forward-filtered scanline stream (filter byte + row) for an
+    (H, W, C) uint8 array, cycling ``fts``."""
+    h, w, nch = a.shape
+    bpp = nch
     raw = bytearray()
     prev = np.zeros(w * nch, dtype=np.int32)
     for y in range(h):
@@ -412,12 +400,81 @@ def make_png(arr, filter_types: list[int] | None = None) -> bytes:
         raw.append(ft)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
+    return bytes(raw)
+
+
+def make_png(arr, filter_types: list[int] | None = None) -> bytes:
+    """A valid PNG (RFC 2083 framing: IHDR/IDAT/IEND + CRC32) from an
+    (H, W), (H, W, 1|2|3|4) uint8 array. ``filter_types`` picks the
+    forward scanline filter per row (cycled; default all-0) so decoder
+    unfiltering paths 0-4 are exercised by construction. Color type from
+    channel count: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+    import zlib as _zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    raw = _png_scanlines(a, filter_types or [0])
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def make_apng(frames, rects=None, disposals=None, blends=None) -> bytes:
+    """A valid APNG (PNG third edition animation chunks: acTL + per-frame
+    fcTL and fdAT) from a list of uint8 arrays. Canvas = frame 0's size
+    (frame 0 must sit at (0, 0) — its data rides in the IDAT chunk, fcTL
+    first, so it is part of the animation). Per-frame knobs mirror
+    make_gif: ``rects`` = (x, y) placement, ``disposals`` = APNG
+    dispose_op (0 none / 1 clear-to-transparent / 2 restore-previous),
+    ``blends`` = blend_op (0 source / 1 alpha-over). All frames share
+    the IHDR color type, derived from frame 0's channel count."""
+    import zlib as _zlib
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    fr = [f[:, :, None] if f.ndim == 2 else f for f in fr]
+    h, w, nch = fr[0].shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _png_chunk(
+        b"IHDR",
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0]),
+    )
+    out += _png_chunk(
+        b"acTL", len(fr).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    )
+    seq = 0
+    for k, f in enumerate(fr):
+        fh, fw = f.shape[:2]
+        fx, fy = rects[k] if rects else (0, 0)
+        disp = disposals[k] if disposals else 0
+        blend = blends[k] if blends else 0
+        fctl = (
+            seq.to_bytes(4, "big")
+            + fw.to_bytes(4, "big") + fh.to_bytes(4, "big")
+            + fx.to_bytes(4, "big") + fy.to_bytes(4, "big")
+            + (1).to_bytes(2, "big") + (10).to_bytes(2, "big")
+            + bytes([disp, blend])
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = _zlib.compress(_png_scanlines(f, [0]))
+        if k == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", seq.to_bytes(4, "big") + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def make_bmp(arr) -> bytes:

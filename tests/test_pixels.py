@@ -529,3 +529,93 @@ class TestPilParityResize:
             bgr, ow, oh = preprocess_frame(solid, max_dim=128, resample=mode)
             assert (ow, oh) == (85, 128)
             assert (bgr[0, 0] == (190, 90, 9)).all()
+
+
+class TestApngComposition:
+    """decode_apng_composited: acTL/fcTL/fdAT parse, placement,
+    dispose 1/2, alpha-over blending (PNG third-edition animation)."""
+
+    def test_two_frame_partial_rect(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_apng_composited
+        from paddle_spark.sources.synth import make_apng
+
+        f0 = np.full((8, 10, 3), (10, 20, 30), np.uint8)
+        f1 = np.full((3, 4, 3), (200, 100, 50), np.uint8)
+        p = make_apng([f0, f1], rects=[(0, 0), (2, 1)])
+        c0 = decode_apng_composited(p, 0)
+        assert (c0[:, :, :3] == f0).all() and (c0[:, :, 3] == 255).all()
+        c1 = decode_apng_composited(p, 1)
+        exp = f0.copy()
+        exp[1:4, 2:6] = (200, 100, 50)
+        assert (c1[:, :, :3] == exp).all()
+
+    def test_static_png_not_claimed(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_apng_composited
+        from paddle_spark.sources.synth import make_png
+
+        assert decode_apng_composited(make_png(np.zeros((4, 4, 3), np.uint8))) is None
+
+    def test_blend_over_and_dispose_background(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_apng_composited
+        from paddle_spark.sources.synth import make_apng
+
+        fa = np.zeros((4, 4, 4), np.uint8)
+        fa[:] = (0, 0, 255, 255)
+        fb = np.zeros((2, 2, 4), np.uint8)
+        fb[:] = (255, 0, 0, 128)
+        p = make_apng(
+            [fa, fb, fb],
+            rects=[(0, 0), (1, 1), (0, 0)],
+            disposals=[0, 1, 0],
+            blends=[0, 1, 1],
+        )
+        c1 = decode_apng_composited(p, 1)
+        # 128-alpha red OVER opaque blue: rint(255*sa)=128, rint(255*(1-sa))=127
+        assert tuple(c1[1, 1]) == (128, 0, 127, 255)
+        c2 = decode_apng_composited(p, 2)
+        assert tuple(c2[0, 0]) == (128, 0, 127, 255)
+        # dispose-1 cleared frame 1's rect; frame 2 did not repaint (2,2)
+        assert tuple(c2[2, 2]) == (0, 0, 0, 0)
+
+    def test_dispose_previous(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_apng_composited
+        from paddle_spark.sources.synth import make_apng
+
+        f0 = np.full((4, 4, 3), 10, np.uint8)
+        f1 = np.full((2, 2, 3), 200, np.uint8)
+        f2 = np.full((1, 1, 3), 99, np.uint8)
+        p = make_apng(
+            [f0, f1, f2],
+            rects=[(0, 0), (1, 1), (3, 3)],
+            disposals=[0, 2, 0],
+        )
+        c2 = decode_apng_composited(p, 2)
+        assert (c2[1:3, 1:3, 0] == 10).all()  # frame 1 fully reverted
+        assert c2[3, 3, 0] == 99
+
+    def test_frame_sample_composites_apng(self, spark):
+        import numpy as np
+
+        from paddle_spark.operators import multimodal as MM
+        from paddle_spark.sources.synth import make_apng
+
+        f0 = np.full((6, 6, 3), 10, np.uint8)
+        f1 = np.full((2, 2, 3), 250, np.uint8)
+        p = make_apng([f0, f1, f0], rects=[(0, 0), (2, 2), (0, 0)])
+        media = spark.createDataFrame(
+            [(0, bytearray(p))], "media_id long, payload binary"
+        )
+        out = {r["frame_no"]: r for r in MM.frame_sample(media, every_k=1).collect()}
+        assert set(out) == {0, 1, 2}
+        # frame 1 = composite over the FULL canvas: 32 px of 10 + 4 of 250
+        exp = round((32 * 10 + 4 * 250) / 36, 6)
+        assert out[1]["width"] == 6 and abs(out[1]["mean_r"] - exp) < 1e-6
+        assert out[0]["mean_r"] == 10.0 and out[2]["mean_r"] == 10.0
