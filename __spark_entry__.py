@@ -1862,19 +1862,21 @@ FROM d
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling with an EXACT oracle over TWO animation
-    containers: even ids are animated GIFs (1..6 frames, real per-frame
-    LZW, graphic-control extensions), odd ids are APNGs (acTL/fcTL/fdAT
-    chunks, per-frame deflate) — frame f of either is a solid color
-    closed-form in (doc_id, f), so ONE oracle covers both. frame_sample
-    walks every 2nd frame, composites/decodes each for real, and reports
-    dims + channel means — the 1-row -> N-frame-rows fan-out (U5),
-    reference cap semantics model.py:344-351."""
+    """Frame sampling with an EXACT oracle over THREE animation/paging
+    containers: ids %3==0 are animated GIFs (1..6 frames, real per-frame
+    LZW, graphic-control extensions), %3==1 are APNGs (acTL/fcTL/fdAT
+    chunks, per-frame deflate), %3==2 are multi-PAGE TIFFs (IFD chain,
+    grayscale pages). Frame f of each is solid and closed-form in
+    (doc_id, f); TIFF pages are gray so all three channel means equal
+    the gray formula. frame_sample walks every 2nd frame,
+    composites/decodes each for real, and reports dims + channel means —
+    the 1-row -> N-frame-rows fan-out (U5), reference cap semantics
+    model.py:344-351."""
     import numpy as np
     import pandas as pd
 
     from paddle_spark.operators.multimodal import frame_sample
-    from paddle_spark.sources.synth import make_apng, make_gif
+    from paddle_spark.sources.synth import make_apng, make_gif, make_tiff_multi
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 150
@@ -1892,12 +1894,18 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (i * 19 + f * 11) % 256]
                     for f in range(nf)
                 ]
-                if i % 2:
+                if i % 3 == 1:
                     rgb = [
                         np.full((h, w, 3), pal[f], dtype=np.uint8)
                         for f in range(nf)
                     ]
                     payloads.append(make_apng(rgb))
+                elif i % 3 == 2:
+                    gray = [
+                        np.full((h, w), (i * 7 + f * 31) % 256, dtype=np.uint8)
+                        for f in range(nf)
+                    ]
+                    payloads.append(make_tiff_multi(gray))
                 else:
                     frames = [
                         np.full((h, w), f, dtype=np.uint8) for f in range(nf)
@@ -1921,8 +1929,10 @@ f AS (
 SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
   CAST((doc_id * 7 + frame_no * 31) % 256 AS DOUBLE) AS mean_r,
-  CAST((doc_id * 13 + frame_no * 17) % 256 AS DOUBLE) AS mean_g,
-  CAST((doc_id * 19 + frame_no * 11) % 256 AS DOUBLE) AS mean_b
+  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 7 + frame_no * 31) % 256
+       ELSE (doc_id * 13 + frame_no * 17) % 256 END AS DOUBLE) AS mean_g,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 7 + frame_no * 31) % 256
+       ELSE (doc_id * 19 + frame_no * 11) % 256 END AS DOUBLE) AS mean_b
 FROM f
 """
 

@@ -542,8 +542,9 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff_pixels(p: bytes) -> np.ndarray | None:
-    """Baseline TIFF 6.0 -> (H, W, C) uint8: first IFD, 8 bits/sample,
+def decode_tiff_pixels(p: bytes, ifd: int = 0) -> np.ndarray | None:
+    """Baseline TIFF 6.0 -> (H, W, C) uint8: IFD ``ifd`` (multi-page
+    files chain IFDs via the next-IFD pointer), 8 bits/sample,
     gray (photometric 0/1) / RGB / palette, strips, compression none /
     LZW (shared MSB-first decoder with the PDF kernel) / PackBits,
     horizontal-differencing predictor. Tiled, planar-separate, and
@@ -557,6 +558,16 @@ def decode_tiff_pixels(p: bytes) -> np.ndarray | None:
     if struct.unpack(en + "H", p[2:4])[0] != 42:
         return None
     (ifd_off,) = struct.unpack(en + "I", p[4:8])
+    for _ in range(min(ifd, 512)):  # walk the page chain
+        if ifd_off + 2 > len(p):
+            return None
+        (cnt,) = struct.unpack(en + "H", p[ifd_off : ifd_off + 2])
+        nxt = ifd_off + 2 + 12 * cnt
+        if nxt + 4 > len(p):
+            return None
+        (ifd_off,) = struct.unpack(en + "I", p[nxt : nxt + 4])
+        if ifd_off == 0:
+            return None
     if ifd_off + 2 > len(p):
         return None
     (count,) = struct.unpack(en + "H", p[ifd_off : ifd_off + 2])

@@ -389,7 +389,7 @@ def frame_sample(
     row -> N sampled-frame rows). Frame count comes from the header walk
     (kernels/raster.py); every ``every_k``-th frame up to ``max_frames``
     decodes for real (GIF LZW and APNG fdAT per-frame, fully composited;
-    still PNG/BMP/... = frame 0) and reports
+    multi-page TIFF by IFD chain; still PNG/BMP/... = frame 0) and reports
     dims + channel means. The cap mirrors the reference's
     max-frames-per-request bound (model.py:344-351); non-animated or
     undecodable payloads simply emit fewer (or zero) rows — per-item
@@ -397,6 +397,7 @@ def frame_sample(
     from paddle_spark.kernels.pixels import (
         decode_apng_composited,
         decode_gif_composited,
+        decode_tiff_pixels,
         decoder_for,
     )
     from paddle_spark.kernels.raster import decode_image_header
@@ -423,6 +424,10 @@ def frame_sample(
                 apng = decode_apng_composited(p, frame=fno)
                 if apng is not None:
                     return apng
+            if p[:4] in (b"II*\x00", b"MM\x00*"):
+                # multi-page TIFF: pages are independent IFDs (no
+                # composition semantics), one decode per sampled page
+                return decode_tiff_pixels(p, ifd=fno)
             return decode(p) if fno == 0 else None
 
     src = media.select(

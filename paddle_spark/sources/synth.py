@@ -1417,3 +1417,47 @@ def make_scanned_pdf(i: int, codec: str = "flate") -> bytes:
         + b" >>\nstream\n" + data + b"\nendstream"
     )
     return _pdf_serialize(objs)
+
+
+def make_tiff_multi(frames) -> bytes:
+    """A valid multi-PAGE little-endian TIFF 6.0: one grayscale 8-bit
+    uncompressed IFD per (H, W) uint8 frame, chained via next-IFD
+    pointers (the layout frame_sample walks with decode_tiff_pixels's
+    ``ifd`` index). Single strip per page; all tag values fit inline."""
+    import struct as _struct
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    out = bytearray(b"II*\x00")
+    out += (0).to_bytes(4, "little")  # patched to first IFD below
+    data_offs = []
+    for f in fr:
+        data_offs.append(len(out))
+        out += f.tobytes()
+    ifd_offs = []
+    for k, f in enumerate(fr):
+        if len(out) % 2:
+            out += b"\x00"
+        ifd_offs.append(len(out))
+        h, w = f.shape
+        tags = [
+            (256, 3, 1, w),            # ImageWidth
+            (257, 3, 1, h),            # ImageLength
+            (258, 3, 1, 8),            # BitsPerSample
+            (259, 3, 1, 1),            # Compression: none
+            (262, 3, 1, 1),            # Photometric: BlackIsZero
+            (273, 4, 1, data_offs[k]), # StripOffsets
+            (277, 3, 1, 1),            # SamplesPerPixel
+            (278, 3, 1, h),            # RowsPerStrip
+            (279, 4, 1, w * h),        # StripByteCounts
+        ]
+        out += _struct.pack("<H", len(tags))
+        for tag, typ, cnt, val in tags:
+            out += _struct.pack("<HHI", tag, typ, cnt)
+            out += _struct.pack("<I", val) if typ == 4 else _struct.pack("<HH", val, 0)
+        out += b"\x00\x00\x00\x00"  # next-IFD placeholder
+    for k, off in enumerate(ifd_offs):
+        nxt = ifd_offs[k + 1] if k + 1 < len(ifd_offs) else 0
+        pos = off + 2 + 12 * 9
+        out[pos : pos + 4] = nxt.to_bytes(4, "little")
+    out[4:8] = ifd_offs[0].to_bytes(4, "little")
+    return bytes(out)

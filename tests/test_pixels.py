@@ -619,3 +619,45 @@ class TestApngComposition:
         exp = round((32 * 10 + 4 * 250) / 36, 6)
         assert out[1]["width"] == 6 and abs(out[1]["mean_r"] - exp) < 1e-6
         assert out[0]["mean_r"] == 10.0 and out[2]["mean_r"] == 10.0
+
+
+class TestTiffMultiPage:
+    def test_ifd_chain_roundtrip(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_tiff_pixels
+        from paddle_spark.kernels.raster import decode_image_header
+        from paddle_spark.sources.synth import make_tiff_multi
+
+        frames = [np.full((6, 9), 40 + 30 * k, np.uint8) for k in range(4)]
+        p = make_tiff_multi(frames)
+        assert decode_image_header(p)["n_frames"] == 4
+        for k in range(4):
+            out = decode_tiff_pixels(p, ifd=k)
+            assert (out[:, :, 0] == 40 + 30 * k).all()
+        assert decode_tiff_pixels(p, ifd=4) is None
+
+    def test_single_page_files_unchanged(self):
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_tiff_pixels
+        from paddle_spark.sources.synth import make_tiff
+
+        img = np.full((5, 7, 3), (9, 90, 200), np.uint8)
+        p = make_tiff(img, compression="lzw", rows_per_strip=2)
+        assert (decode_tiff_pixels(p) == img).all()
+        assert decode_tiff_pixels(p, ifd=1) is None
+
+    def test_frame_sample_walks_tiff_pages(self, spark):
+        import numpy as np
+
+        from paddle_spark.operators import multimodal as MM
+        from paddle_spark.sources.synth import make_tiff_multi
+
+        frames = [np.full((4, 6), 20 * (k + 1), np.uint8) for k in range(5)]
+        media = spark.createDataFrame(
+            [(0, bytearray(make_tiff_multi(frames)))],
+            "media_id long, payload binary",
+        )
+        out = {r["frame_no"]: r["mean_r"] for r in MM.frame_sample(media, every_k=2).collect()}
+        assert out == {0: 20.0, 2: 60.0, 4: 100.0}
