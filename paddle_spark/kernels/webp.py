@@ -350,8 +350,9 @@ def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> None:
 
 
 def _delta(t: int, c: np.ndarray) -> np.ndarray:
-    ts = np.int8(t).astype(np.int32)
-    cs = c.astype(np.int8).astype(np.int32)
+    # int8 reinterpretation via arithmetic (np.int8(200) is deprecated)
+    ts = ((int(t) + 128) % 256) - 128
+    cs = ((c.astype(np.int32) + 128) % 256) - 128
     return (ts * cs) >> 5
 
 

@@ -1245,78 +1245,92 @@ def _vp8l_prefix(v: int) -> tuple[int, int, int]:
     return 2 * hb + bit, vm & ((1 << (hb - 1)) - 1), hb - 1
 
 
-def _vp8l_channel_lengths(used: set[int], alphabet: int,
-                          extra_syms: set[int]) -> list[int]:
-    """Code lengths for one channel: simple-eligible sets are returned
-    as-is (the writer picks the simple form); otherwise a complete code:
-    all 256 literals at 8 bits, with symbols 255 and any >=256 extras
-    moved to 9 bits to keep the Kraft sum at exactly 1."""
+def _vp8l_lengths_for(symbols: set[int], alphabet: int) -> list[int]:
+    """A complete canonical code over exactly the used symbols: shorter
+    lengths go to smaller symbols (any assignment decodes — the decoder
+    rebuilds from the lengths list)."""
     lengths = [0] * alphabet
-    allsyms = used | extra_syms
-    if len(allsyms) <= 2 and max(allsyms) < 256:
-        for s in allsyms:
-            lengths[s] = 1
+    syms = sorted(symbols)
+    if not syms:
+        raise ValueError("empty symbol set")
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
         return lengths
-    for s in range(255):
-        lengths[s] = 8
-    if extra_syms:
-        lengths[255] = 9
-        extras = sorted(extra_syms)
-        if len(extras) > 1:
-            raise ValueError("one extra (length) symbol supported")
-        lengths[extras[0]] = 9
-    else:
-        lengths[255] = 8
+    for sym, l in zip(syms, sorted(_vp8l_complete_lengths(len(syms)))):
+        lengths[sym] = l
     return lengths
 
 
 def _vp8l_encode_image(bw: _VP8LBits, argb: "np.ndarray",
-                       lz77_row_copy: bool = False) -> None:
-    """Entropy-coded image body (no cache, no meta): 5 prefix codes then
-    the pixel stream. ``argb`` is (H, W, 4) uint8 [A,R,G,B]."""
+                       lz77_row_copy: bool = False, cache_bits: int = 0,
+                       is_sub: bool = False) -> None:
+    """Entropy-coded image body: 5 prefix codes then the pixel stream.
+    ``argb`` is (H, W, 4) uint8 [A,R,G,B]. ``cache_bits`` > 0 enables
+    the color cache (repeat colors emit cache-hit symbols, mirroring the
+    decoder's insertion model exactly). Sub-images (``is_sub``) have no
+    meta-prefix bit in the stream."""
+    if cache_bits and lz77_row_copy:
+        raise ValueError("cache + lz77 not combined in this encoder")
     h, w = argb.shape[:2]
-    a_ch = argb[:, :, 0]
-    r_ch = argb[:, :, 1]
-    g_ch = argb[:, :, 2]
-    b_ch = argb[:, :, 3]
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix image (sub-images skip this bit at
-    # read time only when allow_meta=False; the main image reads it)
+    bw.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    if not is_sub:
+        bw.write(0, 1)  # no meta prefix image
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    def ckey(v: int) -> int:
+        return (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    # pass 1: simulate the emission to collect the exact symbol sets
+    ops: list[tuple] = []
     lit_rows = 1 if lz77_row_copy else h
-    greens = set(int(v) for v in np.unique(g_ch[:lit_rows]))
-    extra = set()
-    if lz77_row_copy:
-        len_sym, _, _ = _vp8l_prefix(w)
-        extra = {256 + len_sym}
-    g_codes = _vp8l_write_code(
-        bw, _vp8l_channel_lengths(greens, 256 + 24, extra))
-    r_codes = _vp8l_write_code(
-        bw, _vp8l_channel_lengths(
-            set(int(v) for v in np.unique(r_ch[:lit_rows])), 256, set()))
-    b_codes = _vp8l_write_code(
-        bw, _vp8l_channel_lengths(
-            set(int(v) for v in np.unique(b_ch[:lit_rows])), 256, set()))
-    a_codes = _vp8l_write_code(
-        bw, _vp8l_channel_lengths(
-            set(int(v) for v in np.unique(a_ch[:lit_rows])), 256, set()))
-    if lz77_row_copy:
-        dist_sym, dist_extra, dist_ebits = _vp8l_prefix(w + 120)
-        d_lengths = [0] * 40
-        d_lengths[dist_sym] = 1
-        d_codes = _vp8l_write_code(bw, d_lengths)
-    else:
-        d_lengths = [0] * 40
-        d_lengths[0] = 1
-        d_codes = _vp8l_write_code(bw, d_lengths)
+    greens: set[int] = set()
+    reds: set[int] = set()
+    blues: set[int] = set()
+    alphas: set[int] = set()
     for y in range(lit_rows):
         for x in range(w):
-            _vp8l_write_sym(bw, g_codes, int(g_ch[y, x]))
-            _vp8l_write_sym(bw, r_codes, int(r_ch[y, x]))
-            _vp8l_write_sym(bw, b_codes, int(b_ch[y, x]))
-            _vp8l_write_sym(bw, a_codes, int(a_ch[y, x]))
+            a, r, g, b = (int(v) for v in argb[y, x])
+            v = (a << 24) | (r << 16) | (g << 8) | b
+            if cache is not None and cache[ckey(v)] == v:
+                ops.append(("hit", 280 + ckey(v)))
+                greens.add(280 + ckey(v))
+                continue
+            ops.append(("lit", a, r, g, b))
+            greens.add(g)
+            reds.add(r)
+            blues.add(b)
+            alphas.add(a)
+            if cache is not None:
+                cache[ckey(v)] = v
     if lz77_row_copy:
         len_sym, len_extra, len_ebits = _vp8l_prefix(w)
+        dist_sym, dist_extra, dist_ebits = _vp8l_prefix(w + 120)
+        greens.add(256 + len_sym)
         for _ in range(1, h):
+            ops.append(("ref",))
+        dist_syms = {dist_sym}
+    else:
+        dist_syms = {0}
+    if not reds:  # all-hit stream still sends the literal codes
+        reds = blues = alphas = {0}
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    g_codes = _vp8l_write_code(bw, _vp8l_lengths_for(greens, green_alpha))
+    r_codes = _vp8l_write_code(bw, _vp8l_lengths_for(reds, 256))
+    b_codes = _vp8l_write_code(bw, _vp8l_lengths_for(blues, 256))
+    a_codes = _vp8l_write_code(bw, _vp8l_lengths_for(alphas, 256))
+    d_codes = _vp8l_write_code(bw, _vp8l_lengths_for(dist_syms, 40))
+    for op in ops:
+        if op[0] == "lit":
+            _, a, r, g, b = op
+            _vp8l_write_sym(bw, g_codes, g)
+            _vp8l_write_sym(bw, r_codes, r)
+            _vp8l_write_sym(bw, b_codes, b)
+            _vp8l_write_sym(bw, a_codes, a)
+        elif op[0] == "hit":
+            _vp8l_write_sym(bw, g_codes, op[1])
+        else:  # ref: one whole-row copy
             _vp8l_write_sym(bw, g_codes, 256 + len_sym)
             if len_ebits:
                 bw.write(len_extra, len_ebits)
@@ -1326,7 +1340,8 @@ def _vp8l_encode_image(bw: _VP8LBits, argb: "np.ndarray",
 
 
 def make_webp(arr, subtract_green: bool = False,
-              lz77_row_copy: bool = False) -> bytes:
+              lz77_row_copy: bool = False, cache_bits: int = 0,
+              palette: bool = False) -> bytes:
     """A valid lossless WEBP (RIFF container + VP8L chunk) from an
     (H, W, 3|4) uint8 RGB(A) array. Spec-twin of kernels/webp.py
     (decoder written against the public WebP Lossless Bitstream spec;
@@ -1337,7 +1352,11 @@ def make_webp(arr, subtract_green: bool = False,
       with code-length repeats (16/17/18);
     - ``subtract_green``: the subtract-green transform;
     - ``lz77_row_copy``: rows 1..H-1 coded as one LZ77 back-reference
-      each (length=W, distance=W > the 120-entry 2D map).
+      each (length=W, distance=W > the 120-entry 2D map);
+    - ``cache_bits``: color cache — repeat colors emit cache-hit
+      symbols (encoder mirrors the decoder's insertion model);
+    - ``palette``: the color-indexing transform — delta-coded palette
+      sub-image plus packed sub-byte indices when <= 16 colors.
     """
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape[:2]
@@ -1354,6 +1373,48 @@ def make_webp(arr, subtract_green: bool = False,
     bw.write(1 if has_alpha else 0, 1)
     bw.write(0, 3)  # version
     coded = argb
+    if palette:
+        if subtract_green or lz77_row_copy:
+            raise ValueError("palette composes alone in this encoder")
+        flat = argb.reshape(-1, 4)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        n_colors = colors.shape[0]
+        if n_colors > 256:
+            raise ValueError("palette needs <= 256 colors")
+        bw.write(1, 1)
+        bw.write(3, 2)  # color-indexing transform
+        bw.write(n_colors - 1, 8)
+        delta = colors.astype(np.int16).copy()
+        delta[1:] = (colors[1:].astype(np.int16) - colors[:-1]) % 256
+        _vp8l_encode_image(
+            bw, delta.astype(np.uint8).reshape(1, n_colors, 4), is_sub=True
+        )
+        idx = inv.reshape(h, w).astype(np.uint8)
+        if n_colors <= 2:
+            pk = 3
+        elif n_colors <= 4:
+            pk = 2
+        elif n_colors <= 16:
+            pk = 1
+        else:
+            pk = 0
+        per = 1 << pk
+        ibits = 8 >> pk
+        xs = (w + per - 1) // per
+        packed = np.zeros((h, xs), dtype=np.uint8)
+        for x in range(w):
+            packed[:, x // per] |= idx[:, x] << ((x % per) * ibits)
+        coded = np.zeros((h, xs, 4), dtype=np.uint8)
+        coded[:, :, 0] = 255
+        coded[:, :, 2] = packed
+        bw.write(0, 1)  # no more transforms
+        _vp8l_encode_image(bw, coded, cache_bits=cache_bits)
+        body = bw.bytes()
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)  # transform type 2
@@ -1362,7 +1423,9 @@ def make_webp(arr, subtract_green: bool = False,
         coded[:, :, 1] = (coded[:, :, 1].astype(np.int16) - g) % 256
         coded[:, :, 3] = (coded[:, :, 3].astype(np.int16) - g) % 256
     bw.write(0, 1)  # no more transforms
-    _vp8l_encode_image(bw, coded, lz77_row_copy=lz77_row_copy)
+    _vp8l_encode_image(
+        bw, coded, lz77_row_copy=lz77_row_copy, cache_bits=cache_bits
+    )
     body = bw.bytes()
     chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
     if len(body) & 1:

@@ -114,3 +114,108 @@ class TestContainerAndDegradation:
         chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
         riff = b"WEBP" + chunk
         assert decode_webp_pixels(b"RIFF" + len(riff).to_bytes(4, "little") + riff) is None
+
+
+class TestCacheAndPalette:
+    def test_color_cache_hits(self):
+        rng = np.random.RandomState(2)
+        tiles = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+        img = tiles[rng.randint(0, 4, (12, 15))]
+        out = decode_webp_pixels(make_webp(img, cache_bits=4))
+        assert (out == img).all()
+
+    @pytest.mark.parametrize("ncol", [2, 4, 9, 30])
+    def test_color_indexing_all_packing_widths(self, ncol):
+        rng = np.random.RandomState(ncol)
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (8, 11))]
+        out = decode_webp_pixels(make_webp(img, palette=True))
+        assert (out == img).all()
+
+
+class TestHandCraftedTransforms:
+    """Predictor and color transforms are decoder-side paths the
+    spec-twin encoder does not emit — pin them with hand-built streams
+    whose residuals are computed independently here."""
+
+    def _container(self, body):
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    def _header(self, bw, w, h):
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+
+    def test_predictor_transform_mode_top(self):
+        from paddle_spark.sources.synth import _VP8LBits, _vp8l_encode_image
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+        argb = np.zeros((6, 5, 4), np.uint8)
+        argb[:, :, 0] = 255
+        argb[:, :, 1:] = img
+        # residuals under the spec border rules with all blocks mode 2 (T)
+        res = np.zeros_like(argb)
+        for y in range(6):
+            for x in range(5):
+                if x == 0 and y == 0:
+                    pred = np.array([255, 0, 0, 0], np.uint8)
+                elif y == 0:
+                    pred = argb[0, x - 1]
+                elif x == 0:
+                    pred = argb[y - 1, 0]
+                else:
+                    pred = argb[y - 1, x]  # mode 2: top
+                res[y, x] = (argb[y, x].astype(np.int16) - pred) % 256
+        bw = _VP8LBits()
+        self._header(bw, 5, 6)
+        bw.write(1, 1)   # a transform
+        bw.write(0, 2)   # predictor
+        bw.write(2, 3)   # size_bits = 4 -> one 2x2 block grid
+        sub = np.zeros((2, 2, 4), np.uint8)
+        sub[:, :, 0] = 255
+        sub[:, :, 2] = 2  # mode 2 in the green channel
+        _vp8l_encode_image(bw, sub, is_sub=True)
+        bw.write(0, 1)   # no more transforms
+        _vp8l_encode_image(bw, res)
+        out = decode_webp_pixels(self._container(bw.bytes()))
+        assert out is not None and (out == img).all()
+
+    def test_color_transform(self):
+        from paddle_spark.sources.synth import _VP8LBits, _vp8l_encode_image
+
+        def delta(t, c):
+            ts = ((int(t) + 128) % 256) - 128
+            cs = ((int(c) + 128) % 256) - 128
+            return (ts * cs) >> 5
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+        g2r, g2b, r2b = 40, 200, 17
+        argb = np.zeros((4, 4, 4), np.uint8)
+        argb[:, :, 0] = 255
+        argb[:, :, 1:] = img
+        res = argb.copy()
+        for y in range(4):
+            for x in range(4):
+                r, g, b = (int(v) for v in img[y, x])
+                res[y, x, 1] = (r - delta(g2r, g)) % 256
+                res[y, x, 3] = (b - delta(g2b, g) - delta(r2b, r)) % 256
+        bw = _VP8LBits()
+        self._header(bw, 4, 4)
+        bw.write(1, 1)
+        bw.write(1, 2)   # color transform
+        bw.write(2, 3)   # block size 16: one element covers the image
+        elem = np.zeros((1, 1, 4), np.uint8)
+        elem[0, 0] = (255, r2b, g2b, g2r)  # [A, R, G, B] channel mapping
+        _vp8l_encode_image(bw, elem, is_sub=True)
+        bw.write(0, 1)
+        _vp8l_encode_image(bw, res)
+        out = decode_webp_pixels(self._container(bw.bytes()))
+        assert out is not None and (out == img).all()
