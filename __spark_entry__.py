@@ -2377,6 +2377,20 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial theta-join suite — overlap (J3) and above (J4), each in
+    BOTH forms: the exact theta join (BNLJ at fixture scale) and the
+    grid-bucketed scale path (cell equi-join candidates + exact filter,
+    provably the same output). One null-padded union frame; the bucketed
+    branches share their exact twins' oracles."""
+    return _suite_frame(spark, sf_dir, [
+        ("overlap_join", q_overlap_join),
+        ("overlap_join_bucketed", q_overlap_join_bucketed),
+        ("above_join", q_above_join),
+        ("above_join_bucketed", q_above_join_bucketed),
+    ])
+
+
 def q_filters_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-family suite — score threshold (F2/F3), minimum size (F5),
     label drop (F6), and staleness TTL (F10/T1)."""
@@ -2414,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_kernels": q_url_kernels,              # canonicalize + outlinks
         "relational_core": q_relational_core,      # Q1/Q5-shape + cube + distinct
         "windows_limits": q_windows_limits,        # top-k/rownum/flags/sets/trunc
+        "spatial_joins": q_spatial_joins,          # J3/J4 exact + bucketed twins
         # (mm_decode_stub is retired from the registry: decode_media's
         # plumbing is exactly covered by mm_decode_dims' exact oracle, and
         # its digest feature is superseded by mm_visual_features)
@@ -2439,10 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- joins ---
         "computed_key_join": q_computed_key_join,
         "left_join_coalesce": q_left_join_coalesce,
-        "overlap_join": q_overlap_join,
-        "overlap_join_bucketed": q_overlap_join_bucketed,
-        "above_join": q_above_join,
-        "above_join_bucketed": q_above_join_bucketed,
         "dedup_lastwins": q_dedup_lastwins,
         "caption_enrich": q_caption_enrich,
         # --- dedup family ---
@@ -2489,10 +2500,12 @@ def oracle_sql() -> dict[str, str]:
         ]),
         "computed_key_join": _COMPUTED_KEY_JOIN_ORACLE,
         "left_join_coalesce": _LEFT_JOIN_ORACLE,
-        "overlap_join": _OVERLAP_JOIN_ORACLE,
-        "overlap_join_bucketed": _OVERLAP_JOIN_ORACLE,
-        "above_join": _ABOVE_JOIN_ORACLE,
-        "above_join_bucketed": _ABOVE_JOIN_ORACLE,
+        "spatial_joins": _suite_oracle([
+            ("overlap_join", _OVERLAP_JOIN_ORACLE),
+            ("overlap_join_bucketed", _OVERLAP_JOIN_ORACLE),
+            ("above_join", _ABOVE_JOIN_ORACLE),
+            ("above_join_bucketed", _ABOVE_JOIN_ORACLE),
+        ]),
         "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,
