@@ -148,6 +148,12 @@ class ExtractConfig:
     # it (images decode lazily only for boxless pages), so the hot path
     # is untouched.
     ocr_scanned_pdfs: bool = True
+    # Standalone IMAGE payloads: opt-in OCR (same deterministic chain).
+    # Off by default on purpose — an image row is a zero-block success
+    # unless the job asks for OCR, keeping the hot path free of pixel
+    # decode for photo-dominated corpora (see pixel_codec's measured
+    # figure) and the committed goldens byte-stable.
+    ocr_images: bool = False
 
     def layout_threshold(self, label_id: int) -> float:
         return LAYOUT_THRESHOLDS.get(label_id, 0.5)

@@ -53,13 +53,25 @@ def extract_document(
             text, kept, dropped = extract_layout(payload, cfg)
             return ExtractResult(text, sha256_text(text), kept, dropped, True, "layout", "")
         if kind == KIND_IMAGE:
-            # No OCR stack in this runtime, so an image carries no text —
-            # but the container header is decodable in pure Python
-            # (kernels/raster.py): a well-formed image is a SUCCESSFUL
-            # zero-block extraction, not a failure. (Pixel-level work
-            # lives in kernels/pixels.py via multimodal.pixel_stats; the
-            # OCR/detector stage stays the swap point — reference: PIL
-            # frame iteration, model.py:339-368.)
+            # Default: an image row is a SUCCESSFUL zero-block extraction
+            # (header decodable in pure Python, kernels/raster.py) — no
+            # pixel decode on the hot path. With cfg.ocr_images the
+            # deterministic OCR chain runs (decode -> components -> line
+            # group -> template match, kernels/scan.py) and recognized
+            # lines become the text; pages whose ink is not the glyph
+            # model (photos) still land as zero-block successes.
+            if cfg.ocr_images:
+                from paddle_spark.kernels.pixels import decoder_for
+                from paddle_spark.kernels.scan import ocr_page
+
+                img = decoder_for(cfg.pixel_codec)(payload)
+                if img is not None:
+                    r = ocr_page(img, cfg)
+                    if r.parse_ok and r.n_glyphs > 0:
+                        return ExtractResult(
+                            r.text, sha256_text(r.text), r.n_lines,
+                            r.n_dropped, True, "ocr", "",
+                        )
             from paddle_spark.kernels.raster import decode_image_header
 
             meta = decode_image_header(payload)

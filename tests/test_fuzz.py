@@ -36,3 +36,105 @@ def test_pdf_magic_garbage_is_isolated(tail):
     # either parsed (synthetic sentinel present) or isolated as a failure
     if not r.parse_ok:
         assert r.error
+
+
+# ---------------------------------------------------------------------------
+# Round-4 codec fuzz: encoder-knob matrices round-trip, decoders never raise
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 30), st.integers(1, 30), st.integers(0, 2**32 - 1),
+    st.booleans(), st.integers(0, 6), st.booleans(),
+)
+def test_webp_roundtrip_knob_matrix(h, w, seed, subgreen, cache, palette):
+    import numpy as np
+
+    from paddle_spark.kernels.webp import decode_webp_pixels
+    from paddle_spark.sources.synth import make_webp
+
+    rng = np.random.RandomState(seed)
+    if palette:
+        ncol = int(rng.randint(1, 17))
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (h, w))]
+        out = decode_webp_pixels(make_webp(img, palette=True))
+    else:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_webp_pixels(
+            make_webp(img, subtract_green=subgreen, cache_bits=cache)
+        )
+    assert out is not None and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 5))
+def test_apng_roundtrip_fuzz(seed, nf):
+    import numpy as np
+
+    from paddle_spark.kernels.pixels import decode_apng_composited
+    from paddle_spark.sources.synth import make_apng
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(2, 20)), int(rng.randint(2, 20))
+    frames = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8)]
+    rects = [(0, 0)]
+    for _ in range(nf - 1):
+        fh, fw = int(rng.randint(1, h + 1)), int(rng.randint(1, w + 1))
+        frames.append(rng.randint(0, 256, (fh, fw, 3), dtype=np.uint8))
+        rects.append((int(rng.randint(0, w - fw + 1)), int(rng.randint(0, h - fh + 1))))
+    p = make_apng(frames, rects=rects)
+    # source-blend reference composition
+    canvas = frames[0].copy()
+    for k in range(1, nf):
+        fx, fy = rects[k]
+        fh, fw = frames[k].shape[:2]
+        canvas[fy : fy + fh, fx : fx + fw] = frames[k]
+        out = decode_apng_composited(p, k)
+        assert out is not None and (out[:, :, :3] == canvas).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_new_decoders_never_raise_on_soup(payload):
+    from paddle_spark.kernels.pixels import (
+        decode_apng_composited,
+        decode_gif_composited,
+        decode_tiff_pixels,
+    )
+    from paddle_spark.kernels.webp import decode_webp_pixels
+
+    decode_webp_pixels(payload)
+    decode_apng_composited(payload)
+    decode_gif_composited(payload)
+    decode_tiff_pixels(payload, ifd=1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_webp_bitflip_never_raises(seed):
+    import numpy as np
+
+    from paddle_spark.kernels.webp import decode_webp_pixels
+    from paddle_spark.sources.synth import make_webp
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (6, 7, 3), dtype=np.uint8)
+    p = bytearray(make_webp(img, cache_bits=int(rng.randint(0, 5))))
+    pos = int(rng.randint(12, len(p)))
+    p[pos] ^= 1 << int(rng.randint(0, 8))
+    decode_webp_pixels(bytes(p))  # any result, no exception
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_ocr_page_arbitrary_ink_never_raises(seed):
+    import numpy as np
+
+    from paddle_spark.kernels.scan import ocr_page
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 60)), int(rng.randint(1, 60))
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    r = ocr_page(img)
+    assert r.text is not None

@@ -261,3 +261,35 @@ class TestScannedPdf:
         r = extract_document(p)
         assert r.parse_ok and "Hello world line one" in r.text
         assert r.branch == "layout"
+
+
+class TestOcrImagesOptIn:
+    def test_off_by_default_zero_block_success(self):
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.sources.synth import make_scanned_page
+
+        r = extract_document(make_scanned_page(7))
+        assert r.parse_ok and r.text == "" and r.n_blocks_kept == 0
+
+    def test_opt_in_extracts_text(self):
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.operators.extract_job import with_config
+        from paddle_spark.sources.synth import make_scanned_page, scanned_lines
+
+        r = extract_document(
+            make_scanned_page(7), with_config(ocr_images=True)
+        )
+        assert r.parse_ok and r.branch == "ocr"
+        assert r.text == "\n".join(scanned_lines(7))
+        assert r.n_blocks_kept == len(scanned_lines(7))
+
+    def test_photo_like_image_stays_zero_block(self):
+        import numpy as np
+
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.operators.extract_job import with_config
+        from paddle_spark.sources.synth import make_png
+
+        noise = np.random.RandomState(0).randint(0, 256, (24, 30, 3), dtype=np.uint8)
+        r = extract_document(make_png(noise), with_config(ocr_images=True))
+        assert r.parse_ok and r.text == "" and r.branch == "layout"
