@@ -56,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="commit incrementally in N sequential bucket groups\n"
                          "(crash loses at most one group)")
     ap.add_argument("--max-pages-per-doc", type=int, default=None)
+    ap.add_argument("--ocr-images", action="store_true",
+                    help="run the deterministic OCR chain over standalone "
+                         "image payloads (off by default: keeps pixel "
+                         "decode off the hot path)")
+    ap.add_argument("--no-ocr-scanned-pdfs", dest="ocr_scanned_pdfs",
+                    action="store_false", default=True,
+                    help="disable the scanned-PDF image-XObject OCR fallback")
+    ap.add_argument("--pixel-codec", default="python",
+                    choices=["python", "native", "off"],
+                    help="decode path for any pixel work (kernels/pixels."
+                         "decoder_for); bulk jobs choose explicitly")
     args = ap.parse_args(argv)
     if sum(bool(x) for x in (args.gen, args.input, args.input_warc)) != 1:
         ap.error("exactly one of --input / --input-warc / --gen is required")
@@ -91,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
         # WET conversion records carry pre-extracted text; only archive
         # ingestion opts into reading the text column
         wet_passthrough=bool(args.input_warc),
+        ocr_images=args.ocr_images,
+        ocr_scanned_pdfs=args.ocr_scanned_pdfs,
+        pixel_codec=args.pixel_codec,
     )
 
     if args.gen:

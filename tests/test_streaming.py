@@ -66,3 +66,41 @@ def test_streaming_extraction_byte_identical(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 160
     assert got2.select("url").distinct().count() == 160
+
+
+def test_streaming_scanned_pdf_byte_identity(spark, tmp_path):
+    """Scanned PDFs flow through the SAME kernel under Structured
+    Streaming: per-url output identical to the batch path."""
+    import pandas as pd
+
+    from paddle_spark.kernels.extract import extract_document
+    from paddle_spark.sources.synth import make_scanned_pdf
+    from paddle_spark.streaming.extract_stream import streaming_extract
+
+    rows = [
+        (f"scanpdf://{i}", None, bytearray(make_scanned_pdf(i, "dct" if i % 2 else "flate")), None, "en")
+        for i in range(12)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.mode("overwrite").parquet(str(src / "batch0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(str(src) + "/*")
+    )
+    out = streaming_extract(stream)
+    q = (
+        out.writeStream.format("memory").queryName("scanned_stream")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["text_sha256"] for r in spark.sql("SELECT * FROM scanned_stream").collect()}
+    assert len(got) == 12
+    for i in range(12):
+        exp = extract_document(make_scanned_pdf(i, "dct" if i % 2 else "flate")).text_sha256
+        assert got[f"scanpdf://{i}"] == exp
