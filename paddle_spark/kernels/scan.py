@@ -131,6 +131,9 @@ class ScanResult:
     n_dropped: int
     parse_ok: bool
     error: str | None = None
+    # (x1, y1, x2, y2) per emitted text line, aligned with
+    # text.split("\n") — the detector boxes for diagnostic fan-out
+    line_boxes: tuple = ()
 
 
 def _decode_line(
@@ -189,11 +192,13 @@ def ocr_page(
         line_boxes[li] = [m[:, 0].min(), m[:, 1].min(), m[:, 2].max(), m[:, 3].max()]
     perm = reading_order(line_boxes, float(img.shape[1]), cfg)
     texts: list[str] = []
+    out_boxes: list[tuple] = []
     unmatched = 0
     for li in perm:
         members = kept_idx[line_ids == li]
         t, u = _decode_line(members, boxes, labels)
         texts.append(t)
+        out_boxes.append(tuple(float(v) for v in line_boxes[li]))
         unmatched += u
     return ScanResult(
         "\n".join(texts),
@@ -202,4 +207,5 @@ def ocr_page(
         n_dropped,
         unmatched == 0,
         None if unmatched == 0 else f"{unmatched} unrecognized components",
+        tuple(out_boxes),
     )

@@ -62,6 +62,27 @@ def document_blocks(url: str, payload: bytes, cfg: ExtractConfig) -> list[tuple]
                         (url, page_no, i, "layout", blk["label"], x1, y1, x2,
                          y2, blk["score"], blk["text"], True, None)
                     )
+                if not blocks and page.get("images") and cfg.ocr_scanned_pdfs:
+                    # scanned page: the SAME fallback extract_layout runs,
+                    # surfaced here with the detector's per-line boxes
+                    from paddle_spark.kernels.scan import ocr_page
+
+                    i = 0
+                    for img in page["images"]:
+                        r = ocr_page(img, cfg)
+                        if not r.text:
+                            continue
+                        for ln, box in zip(
+                            r.text.split("\n"), r.line_boxes
+                        ):
+                            if not ln:
+                                continue
+                            x1, y1, x2, y2 = box
+                            rows.append(
+                                (url, page_no, i, "layout", "ocr_text",
+                                 x1, y1, x2, y2, None, ln, True, None)
+                            )
+                            i += 1
     except Exception as exc:  # noqa: BLE001 — per-doc isolation (T5)
         rows.append(
             (url, 0, 0, "error", "error", None, None, None, None, None,

@@ -58,3 +58,29 @@ def test_drop_reasons_single_process():
     rows = document_blocks("u", payload, DEFAULT_CONFIG)
     reasons = {r[12] for r in rows if not r[11]}
     assert reasons == {"short", "link_density", "drop_region"}
+
+
+def test_scanned_pdf_blocks_fan_out(spark):
+    """The diagnostic blocks table surfaces scanned-page OCR lines with
+    their detector line boxes — consistent with extract_layout's text."""
+    import pandas as pd
+
+    from paddle_spark.operators.blocks import extract_blocks
+    from paddle_spark.sources.synth import make_scanned_pdf, scanned_lines
+
+    pdf = pd.DataFrame(
+        [(f"scanpdf://{i}", bytearray(make_scanned_pdf(i))) for i in (0, 3)],
+        columns=["url", "html"],
+    )
+    pages = spark.createDataFrame(pdf, "url string, html binary")
+    rows = extract_blocks(pages).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for i in (0, 3):
+        got = sorted(by_url[f"scanpdf://{i}"], key=lambda r: r["block_id"])
+        assert [r["text"] for r in got] == scanned_lines(i)
+        assert all(r["label"] == "ocr_text" and r["kept"] for r in got)
+        # line boxes are real detector geometry (top-to-bottom order)
+        ys = [r["y1"] for r in got]
+        assert ys == sorted(ys) and all(r["x2"] > r["x1"] for r in got)
