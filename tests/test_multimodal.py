@@ -240,3 +240,50 @@ def test_visual_near_dups_banded_hamming(spark):
     # the join is banded equi-join, not a cartesian/BNLJ
     plan = MM.visual_near_dups(media)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_near_dup_recall_and_separation(spark):
+    """Quality property of the visual near-dup chain: structured images
+    survive mild perturbation (JPEG-free: brightness shift + sparse
+    noise) within the banded join's Hamming budget, while distinct
+    structures stay far — measured recall/separation, not anecdotes."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_png
+
+    rng = np.random.RandomState(0)
+
+    def structured(seed):
+        r = np.random.RandomState(seed)
+        # block-pattern "thumbnail": 4x4 tiles of random shades, upscaled
+        tiles = r.randint(0, 256, (4, 4), dtype=np.uint8)
+        img = np.kron(tiles, np.ones((8, 8), np.uint8))
+        return np.repeat(img[:, :, None], 3, axis=2)
+
+    rows = []
+    n_pairs = 12
+    for k in range(n_pairs):
+        base = structured(100 + k)
+        pert = base.astype(np.int16) + int(rng.randint(-12, 13))
+        mask = rng.random(base.shape[:2]) < 0.002
+        pert[mask] = rng.randint(0, 256)
+        pert = np.clip(pert, 0, 255).astype(np.uint8)
+        rows.append((2 * k, bytearray(make_png(base))))
+        rows.append((2 * k + 1, bytearray(make_png(pert))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    vf = {r["media_id"]: r["dhash"] for r in MM.visual_features(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    recall_hits = sum(
+        1 for k in range(n_pairs) if ham(vf[2 * k], vf[2 * k + 1]) <= 3
+    )
+    assert recall_hits >= int(0.8 * n_pairs), recall_hits
+    # separation: distinct structures nearly always exceed the budget
+    far = [
+        ham(vf[2 * a], vf[2 * b])
+        for a in range(n_pairs)
+        for b in range(a + 1, n_pairs)
+    ]
+    assert sum(1 for d in far if d > 3) >= int(0.95 * len(far)), sorted(far)[:5]
