@@ -293,3 +293,45 @@ class TestOcrImagesOptIn:
         noise = np.random.RandomState(0).randint(0, 256, (24, 30, 3), dtype=np.uint8)
         r = extract_document(make_png(noise), with_config(ocr_images=True))
         assert r.parse_ok and r.text == "" and r.branch == "layout"
+
+
+def test_mixed_text_and_scanned_pages():
+    """A PDF with a born-digital text page AND a scanned (image-only)
+    page: the text layer extracts page 1, the OCR fallback covers page 2,
+    inside one document assembly."""
+    import zlib
+
+    from paddle_spark.kernels.extract import extract_document
+    from paddle_spark.kernels.font import render_page
+    from paddle_spark.sources.synth import _pdf_serialize
+
+    img = render_page(["SCANNED PAGE TWO"])
+    h, w = img.shape
+    data = zlib.compress(img.tobytes())
+    cs1 = b"BT /F1 12 Tf 72 720 Td (Digital page one) Tj ET"
+    cs2 = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 "
+           b"/MediaBox [0 0 612 792] >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+           b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        5: b"<< /Length " + str(len(cs1)).encode() + b" >>\nstream\n"
+           + cs1 + b"\nendstream",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R /Resources "
+           b"<< /XObject << /Im0 8 0 R >> >> >>",
+        7: b"<< /Length " + str(len(cs2)).encode() + b" >>\nstream\n"
+           + cs2 + b"\nendstream",
+        8: b"<< /Subtype /Image /Width " + str(w).encode()
+           + b" /Height " + str(h).encode()
+           + b" /BitsPerComponent 8 /ColorSpace /DeviceGray "
+           b"/Filter /FlateDecode /Length " + str(len(data)).encode()
+           + b" >>\nstream\n" + data + b"\nendstream",
+    }
+    r = extract_document(_pdf_serialize(objs))
+    assert r.parse_ok
+    assert "Digital page one" in r.text
+    assert "SCANNED PAGE TWO" in r.text
+    assert "=== PAGE 1 ===" in r.text and "=== PAGE 2 ===" in r.text
+    assert r.text.index("Digital page one") < r.text.index("SCANNED PAGE TWO")
