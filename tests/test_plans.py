@@ -96,3 +96,30 @@ def test_extraction_partitions_balanced(spark, tiny_pages):
     )
     counts = [r["count"] for r in out.groupBy("pid").count().collect()]
     assert max(counts) < 3 * (sum(counts) / len(counts))
+
+
+def test_bucketed_tables_colocate_join_no_shuffle(spark, tmp_path):
+    """The SCALE.md co-location claim, proven on a plan: two tables
+    bucketed + sorted on the join key join WITHOUT any Exchange — the
+    shape a 10^12-row extracted table shares with its enrichment tables
+    when both are bucketed by the same url-hash."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("b")
+    )
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+           .format("parquet").saveAsTable(name))
+    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert joined.count() == 5000
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
