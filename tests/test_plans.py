@@ -117,9 +117,13 @@ def test_bucketed_tables_colocate_join_no_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (df.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
            .format("parquet").saveAsTable(name))
-    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    assert "SortMergeJoin" in plan
-    assert joined.count() == 5000
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
