@@ -335,3 +335,55 @@ def test_mixed_text_and_scanned_pages():
     assert "SCANNED PAGE TWO" in r.text
     assert "=== PAGE 1 ===" in r.text and "=== PAGE 2 ===" in r.text
     assert r.text.index("Digital page one") < r.text.index("SCANNED PAGE TWO")
+
+
+def _cc_reference_bfs(binary):
+    """Independent 8-connected labeling (BFS flood fill) for equivalence
+    checks against the run-union-find implementation."""
+    import numpy as np
+
+    h, w = binary.shape
+    labels = np.full((h, w), -1, dtype=np.int64)
+    comps = []
+    nxt = 0
+    for sy in range(h):
+        for sx in range(w):
+            if not binary[sy, sx] or labels[sy, sx] >= 0:
+                continue
+            stack = [(sy, sx)]
+            labels[sy, sx] = nxt
+            px = []
+            while stack:
+                y, x = stack.pop()
+                px.append((y, x))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx_ = y + dy, x + dx
+                        if (
+                            0 <= ny < h and 0 <= nx_ < w
+                            and binary[ny, nx_] and labels[ny, nx_] < 0
+                        ):
+                            labels[ny, nx_] = nxt
+                            stack.append((ny, nx_))
+            ys = [p[0] for p in px]
+            xs = [p[1] for p in px]
+            comps.append((min(xs), min(ys), max(xs) + 1, max(ys) + 1, len(px)))
+            nxt += 1
+    return comps
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_connected_components_equals_bfs_reference(seed):
+    """Run-union-find == independent BFS flood fill on random ink masks
+    (component COUNT, and the multiset of (bbox, pixel count))."""
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(2, 40)), int(rng.randint(2, 40))
+    density = rng.choice([0.1, 0.3, 0.5, 0.8])
+    binary = rng.random((h, w)) < density
+    _, boxes, counts = connected_components(binary)
+    got = sorted(
+        (int(b[0]), int(b[1]), int(b[2]), int(b[3]), int(c))
+        for b, c in zip(boxes, counts)
+    )
+    exp = sorted(_cc_reference_bfs(binary))
+    assert got == exp
