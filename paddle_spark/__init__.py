@@ -7,7 +7,15 @@ pipeline over Common-Crawl-style page tables:
 - HTML branch: boilerplate stripping via text-density + link-density block
   scoring (Readability/trafilatura-class heuristics) over batched parses.
 - Layout branch: detection-box thresholding, IoU NMS, merge modes, y-overlap
-  line grouping and XY-cut-style reading order as columnar NumPy kernels.
+  line grouping and XY-cut-style reading order as columnar NumPy kernels;
+  born-digital PDFs parse their real text layer (kernels.pdf), scanned
+  pages (standalone images or image-XObject PDF pages) run a deterministic
+  detector + template-OCR chain end-to-end from pixels (kernels.scan).
+- Multimodal: pure-Python pixel decode for PNG/APNG/BMP/GIF (composited)/
+  JPEG (baseline+progressive)/TIFF (multi-page)/WEBP-lossless, visual
+  features (dhash + histogram embeddings), banded visual near-dup, frame
+  sampling — all map-only mapInPandas plans behind an explicit
+  pixel-codec gate.
 - Both branches run inside ``mapInPandas`` over Arrow batches — never
   per-row Python at the DataFrame level.
 

@@ -7,7 +7,13 @@ codes (deflate-style code-length coding), an LZ77 back-reference plane
 over ARGB pixels, an optional color cache, and four invertible
 transforms (predictor, color, subtract-green, color-indexing). All of
 that decodes here; lossy VP8 (boolean arithmetic coder + DCT) remains
-the declared seam and still returns None.
+the declared seam and still returns None — not for difficulty of the
+algorithm, but honestly: VP8 decode REQUIRES ~1k bytes of normative
+default probability-table constants (RFC 6386 §13) that cannot be
+reproduced from memory in this offline sandbox, and a decoder with
+invented tables would be a lookalike no real encoder interoperates
+with. On a connected cluster, port the constant tables and the rest of
+the machinery composes with this module's bit reader.
 
 Scope:
 - VP8L streams inside a RIFF WEBP container ('VP8L' chunk, or 'VP8X'
