@@ -1723,12 +1723,11 @@ FROM embeddings WHERE vec_id < 10
 
 
 def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media 'decode' (rows-only: stub dims derive from
-    sha256 bytes — plumbing is the tested part).
-
-    The operator keeps ``feature`` as array<float>; the driver's
-    canonicalizer sorts object columns, so this query projects a hashable
-    twin (``to_json``) instead of the raw array."""
+    """RETIRED from the registry in round 4 (kept as a callable for
+    tests/history): decode_media's plumbing is exactly covered by
+    mm_decode_dims' exact oracle, and real pixel-derived features live
+    in mm_visual_features/ann_pixel_topk. The digest feature remains the
+    documented stand-in for NEURAL embeddings only."""
     from paddle_spark.operators.multimodal import decode_media
 
     d = _t(spark, sf_dir, "documents")
