@@ -65,7 +65,11 @@ def dct2(block: np.ndarray) -> np.ndarray:
 
 
 class _Huff:
-    """Canonical Huffman table from DHT counts+symbols (T.81 C.2)."""
+    """Canonical Huffman table from DHT counts+symbols (T.81 C.2), plus a
+    16-bit prefix lookup table for O(1) symbol decode: entry i holds the
+    (symbol, code length) of the unique code that prefixes the 16-bit
+    string i — semantically identical to the bit-by-bit walk (prefix
+    codes are self-delimiting), ~10x fewer Python ops per symbol."""
 
     def __init__(self, counts: list[int], symbols: bytes) -> None:
         self.map: dict[tuple[int, int], int] = {}
@@ -77,6 +81,15 @@ class _Huff:
                 code += 1
                 k += 1
             code <<= 1
+        import numpy as np
+
+        self.lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+        self.lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        for (length, c), sym in self.map.items():
+            start = c << (16 - length)
+            end = start + (1 << (16 - length))
+            self.lut_sym[start:end] = sym
+            self.lut_len[start:end] = length
 
 
 class _BitReader:
@@ -119,26 +132,47 @@ class _BitReader:
         return (self.buf >> self.bits) & 1
 
     def receive(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.read_bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
-        return v
+        if n == 0:
+            return 0
+        while self.bits < n:
+            before = self.bits
+            self._fill()
+            if self.bits == before:  # marker / end: no more bits coming
+                break
+        if self.bits < n:
+            # stream exhausted mid-value: consume what's left and fail,
+            # exactly like the bit-by-bit reader did
+            self.bits = 0
+            return None
+        self.bits -= n
+        return (self.buf >> self.bits) & ((1 << n) - 1)
 
     def decode(self, table: _Huff | None) -> int | None:
         if table is None:
             return None
-        code = 0
-        for length in range(1, 17):
-            b = self.read_bit()
-            if b is None:
-                return None
-            code = (code << 1) | b
-            sym = table.map.get((length, code))
-            if sym is not None:
-                return sym
+        while self.bits < 16:
+            before = self.bits
+            self._fill()
+            if self.bits == before:
+                break
+        bits = self.bits
+        if bits == 0:
+            return None
+        if bits >= 16:
+            idx = (self.buf >> (bits - 16)) & 0xFFFF
+        else:
+            # zero-pad the tail: a REAL code of length <= bits is fully
+            # determined by the real bits (prefix property), so padding
+            # never changes which code matches
+            idx = (self.buf << (16 - bits)) & 0xFFFF
+        length = int(table.lut_len[idx])
+        if 0 < length <= bits:
+            self.bits = bits - length
+            return int(table.lut_sym[idx])
+        # invalid code (length 0) or code longer than the remaining
+        # bits: the bit-by-bit walk consumed min(16, available) bits and
+        # returned None — replicate that consumption
+        self.bits = max(0, bits - 16)
         return None
 
     def sync_restart(self) -> bool:

@@ -240,6 +240,10 @@ def _lzw_pdf(data: bytes, early: int = 1) -> bytes | None:
         while bits >= width:
             code = (buf >> (bits - width)) & ((1 << width) - 1)
             bits -= width
+            # trim consumed high bits: without this the accumulator grows
+            # into an arbitrary-precision int and every per-byte shift
+            # costs O(stream) — quadratic on long strips
+            buf &= (1 << bits) - 1
             if code == CLEAR:
                 table = [bytes([i]) for i in range(256)] + [b"", b""]
                 width = 9

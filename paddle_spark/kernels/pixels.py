@@ -687,7 +687,8 @@ def decoder_for(codec: str):
     pixel_decode_imgs_per_sec figure in BENCH/BASELINE.md):
 
     - ``python``: this module + kernels/jpeg.py. Bit-exact, tested,
-      ~10^2-10^3 imgs/s/core — fine for oracles, goldens, and modest
+      ~16 imgs/s/core measured on 64-160 px mixed codecs
+      (BENCH/BASELINE.md) — fine for oracles, goldens, and modest
       corpora; a deliberate choice for bulk.
     - ``native``: PIL-backed decode for production throughput; raises
       ImportError in runtimes without PIL rather than degrading quietly.
