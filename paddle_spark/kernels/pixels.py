@@ -67,11 +67,17 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ft == 1:  # Sub
-            cur = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (line[x] + a) & 0xFF
+        elif ft == 1:  # Sub — per byte-lane prefix sum, mod 256 by uint8
+            # wraparound (identical to the sequential add-left recurrence)
+            cur = (
+                np.cumsum(
+                    line.astype(np.uint8).reshape(-1, bpp),
+                    axis=0,
+                    dtype=np.uint8,
+                )
+                .reshape(-1)
+                .astype(np.int32)
+            )
         elif ft == 4:  # Paeth
             cur = np.empty(stride, np.int32)
             for x in range(stride):
