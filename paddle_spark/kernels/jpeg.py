@@ -104,22 +104,39 @@ class _BitReader:
         self.marker: int | None = None
 
     def _fill(self) -> bool:
+        # trim consumed high bits first: otherwise the accumulator grows
+        # into an arbitrary-precision int over the whole scan and every
+        # shift costs O(stream) (the quadratic-bignum trap)
+        self.buf &= (1 << self.bits) - 1
+        d = self.d
+        n = len(d)
         while self.bits <= 24:
-            if self.pos >= len(self.d):
+            pos = self.pos
+            if pos >= n:
                 return self.bits > 0
-            b = self.d[self.pos]
-            if b == 0xFF:
-                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
-                if nxt == 0x00:
-                    self.pos += 2
-                elif nxt is None:
-                    return self.bits > 0
-                else:
-                    self.marker = nxt
-                    return self.bits > 0
+            # bulk path: consume the clean run up to the next 0xFF at
+            # C speed (bytes.find + int.from_bytes)
+            room = (32 - self.bits) >> 3
+            ff = d.find(0xFF, pos, pos + room)
+            if ff != pos:
+                end = ff if ff != -1 else min(pos + room, n)
+                take = end - pos
+                self.buf = (self.buf << (8 * take)) | int.from_bytes(
+                    d[pos:end], "big"
+                )
+                self.bits += 8 * take
+                self.pos = end
+                continue
+            # pos sits on 0xFF: unstuff or stop at a marker
+            nxt = d[pos + 1] if pos + 1 < n else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                return self.bits > 0
             else:
-                self.pos += 1
-            self.buf = (self.buf << 8) | b
+                self.marker = nxt
+                return self.bits > 0
+            self.buf = (self.buf << 8) | 0xFF
             self.bits += 8
         return True
 

@@ -693,7 +693,7 @@ def decoder_for(codec: str):
     pixel_decode_imgs_per_sec figure in BENCH/BASELINE.md):
 
     - ``python``: this module + kernels/jpeg.py. Bit-exact, tested,
-      ~16 imgs/s/core measured on 64-160 px mixed codecs
+      ~37 imgs/s/core measured on 64-160 px mixed codecs
       (BENCH/BASELINE.md) — fine for oracles, goldens, and modest
       corpora; a deliberate choice for bulk.
     - ``native``: PIL-backed decode for production throughput; raises
