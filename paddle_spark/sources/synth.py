@@ -795,6 +795,9 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while bits >= 8:
             out.append((buf >> (bits - 8)) & 0xFF)
             bits -= 8
+        # trim emitted high bits (otherwise buf grows into a bignum and
+        # every shift costs O(stream) — same trap as the readers had)
+        buf &= (1 << bits) - 1
 
     table = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
