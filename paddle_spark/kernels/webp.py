@@ -63,29 +63,56 @@ assert len(_DIST_MAP) == 120
 
 
 class _Bits:
-    __slots__ = ("d", "pos", "n")
+    """LSB-first reader with a draining accumulator (bounded — consumed
+    bits are shifted out, so no bignum growth) and a 15-bit peek for the
+    prefix-code lookup tables."""
+
+    __slots__ = ("d", "byte_pos", "acc", "nacc")
 
     def __init__(self, d: bytes) -> None:
         self.d = d
-        self.pos = 0
-        self.n = len(d) * 8
+        self.byte_pos = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def _fill_to(self, k: int) -> None:
+        d = self.d
+        n = len(d)
+        while self.nacc < k and self.byte_pos < n:
+            self.acc |= d[self.byte_pos] << self.nacc
+            self.nacc += 8
+            self.byte_pos += 1
 
     def read(self, k: int) -> int:
-        v = 0
-        p = self.pos
-        if p + k > self.n:
-            raise ValueError("bitstream overrun")
-        for j in range(k):
-            v |= ((self.d[(p + j) >> 3] >> ((p + j) & 7)) & 1) << j
-        self.pos = p + k
+        if self.nacc < k:
+            self._fill_to(k)
+            if self.nacc < k:
+                raise ValueError("bitstream overrun")
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.nacc -= k
         return v
+
+    def peek15(self) -> int:
+        """Next <=15 bits without consuming (high side zero-padded near
+        the stream end)."""
+        if self.nacc < 15:
+            self._fill_to(15)
+        return self.acc & 0x7FFF
+
+    def drop(self, k: int) -> None:
+        self.acc >>= k
+        self.nacc -= k
 
 
 class _Huff:
     """Canonical prefix code (deflate-style assignment), decoded by
-    walking bits MSB-of-code-first from the LSB-first stream."""
+    walking bits MSB-of-code-first from the LSB-first stream — via a
+    15-bit reversed-prefix lookup table (codes are <= 15 bits by spec):
+    entry i maps the stream's next bits, read LSB-first, to the unique
+    code they start with."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "lut_sym", "lut_len")
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -100,6 +127,8 @@ class _Huff:
         if abs(sum(2.0 ** -l for l, _ in nz) - 1.0) > 1e-9:
             raise ValueError("incomplete prefix code")
         max_len = max(l for l, _ in nz)
+        if max_len > 15:
+            raise ValueError("code too long")
         bl_count = [0] * (max_len + 1)
         for l, _ in nz:
             bl_count[l] += 1
@@ -109,15 +138,31 @@ class _Huff:
             code = (code + bl_count[l - 1]) << 1
             next_code[l] = code
         table: dict[tuple[int, int], int] = {}
+        self.lut_sym = np.zeros(1 << 15, dtype=np.int32)
+        self.lut_len = np.zeros(1 << 15, dtype=np.uint8)
         for s, l in enumerate(lengths):
             if l > 0:
-                table[(l, next_code[l])] = s
+                c = next_code[l]
+                table[(l, c)] = s
                 next_code[l] += 1
+                # stream order = code bits MSB-first; as an LSB-first int
+                # that is the bit-reversal of c over l bits
+                rev = int(f"{c:0{l}b}"[::-1], 2)
+                self.lut_sym[rev :: 1 << l] = s
+                self.lut_len[rev :: 1 << l] = l
         self.table = table
 
     def read(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        idx = br.peek15()
+        length = int(self.lut_len[idx])
+        if 0 < length <= br.nacc:
+            br.drop(length)
+            return int(self.lut_sym[idx])
+        # stream tail shorter than the matched code, or no code matches
+        # (incomplete codes are rejected at build time, so this is a
+        # truncated stream): walk bit-by-bit for the exact old error
         code = 0
         length = 0
         t = self.table
