@@ -112,10 +112,12 @@ def timed_best(mk, repeats: int = 2) -> float:
 
 def ensure_image_corpus(spark, n_imgs: int) -> str:
     """Materialize a deterministic mixed-codec image corpus once: noisy
-    (non-trivially-compressible) PNG/BMP/JPEG/GIF/TIFF payloads, 64-160 px
-    a side — the input for the pixel-decode throughput figure that gates
-    the pure-Python codecs (ExtractConfig.pixel_codec)."""
-    path = f"/tmp/paddle_spark_bench_images_v1_{n_imgs}.parquet"
+    (non-trivially-compressible) PNG/BMP/JPEG/GIF/TIFF/WEBP-lossless
+    payloads, 64-160 px a side — the input for the pixel-decode
+    throughput figure that gates the pure-Python codecs
+    (ExtractConfig.pixel_codec). v2: webp joined the mix once every
+    codec ran through the round-4 LUT/accumulator optimizations."""
+    path = f"/tmp/paddle_spark_bench_images_v2_{n_imgs}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         import numpy as np
         import pandas as pd
@@ -123,6 +125,7 @@ def ensure_image_corpus(spark, n_imgs: int) -> str:
         def gen(batches):
             from paddle_spark.sources.synth import (
                 make_bmp, make_gif, make_jpeg, make_png, make_tiff,
+                make_webp,
             )
 
             for pdf in batches:
@@ -132,7 +135,7 @@ def ensure_image_corpus(spark, n_imgs: int) -> str:
                     rng = np.random.RandomState(i)
                     w, h = 64 + (i * 13) % 97, 64 + (i * 17) % 97
                     img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
-                    k = i % 5
+                    k = i % 6
                     if k == 0:
                         payloads.append(make_png(img, filter_types=[0, 1, 2, 3, 4]))
                     elif k == 1:
@@ -141,8 +144,10 @@ def ensure_image_corpus(spark, n_imgs: int) -> str:
                         payloads.append(make_jpeg(img[:, :, 0]))
                     elif k == 3:
                         payloads.append(make_gif(img[:, :, 0] % 64, np.arange(192).reshape(64, 3)))
-                    else:
+                    elif k == 4:
                         payloads.append(make_tiff(img, compression="lzw", rows_per_strip=32))
+                    else:
+                        payloads.append(make_webp(img, subtract_green=True))
                 yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
         spark.range(0, n_imgs, 1, CPUS * 2).mapInPandas(
