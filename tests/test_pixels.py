@@ -661,3 +661,38 @@ class TestTiffMultiPage:
         )
         out = {r["frame_no"]: r["mean_r"] for r in MM.frame_sample(media, every_k=2).collect()}
         assert out == {0: 20.0, 2: 60.0, 4: 100.0}
+
+
+class TestWildImages:
+    def test_system_images_decode_cleanly(self):
+        """Wild-file validation (complements the spec-twin fixtures): a
+        deterministic sample of system images must never raise, and any
+        decoded pixels must agree with the header dims. Skips quietly on
+        systems without /usr/share images."""
+        import glob
+        import random
+
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.kernels.raster import decode_image_header
+
+        files = []
+        for pat in ("png", "gif", "jpg", "jpeg", "tif", "tiff", "webp", "bmp"):
+            files += glob.glob(f"/usr/share/**/*.{pat}", recursive=True)
+        if len(files) < 20:
+            pytest.skip("no wild image corpus on this system")
+        rng = random.Random(0)
+        rng.shuffle(files)
+        sample = files[:150]
+        decoded = 0
+        for f in sample:
+            p = open(f, "rb").read()
+            meta = decode_image_header(p)
+            img = decode_pixels(p)  # must never raise
+            if img is not None:
+                decoded += 1
+                if meta:
+                    assert (img.shape[1], img.shape[0]) == (
+                        meta["width"], meta["height"],
+                    ), f
+        # the sample is dominated by 8-bit PNGs: nearly all must decode
+        assert decoded >= int(0.9 * len(sample)), (decoded, len(sample))
