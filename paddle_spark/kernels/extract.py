@@ -41,10 +41,25 @@ def sha256_text(text: str) -> str:
 
 
 def extract_document(
-    payload: bytes | None, cfg: ExtractConfig = DEFAULT_CONFIG
+    payload: bytes | None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    pixel_decode=None,
 ) -> ExtractResult:
-    """Extract main content from one raw payload. Never raises."""
+    """Extract main content from one raw payload.
+
+    Never raises for a bad *payload* (T5 fault isolation). A bad *config*
+    (``ocr_images=True`` with ``pixel_codec='off'``, or ``'native'``
+    without PIL) raises ``ValueError``/``ImportError`` BEFORE the
+    fault-isolation try — misconfiguration must fail the job, not turn
+    every image row into a quiet error row. Spark callers pre-resolve
+    ``pixel_decode`` once at plan construction (operators/extract_job.py)
+    so the raise happens on the driver, matching decoder_for's contract.
+    """
     kind = classify_payload(payload)
+    if kind == KIND_IMAGE and cfg.ocr_images and pixel_decode is None:
+        from paddle_spark.kernels.pixels import decoder_for
+
+        pixel_decode = decoder_for(cfg.pixel_codec)  # fail-fast, outside try
     try:
         if kind == KIND_HTML:
             text, kept, dropped = extract_html(payload, cfg)
@@ -61,10 +76,9 @@ def extract_document(
             # lines become the text; pages whose ink is not the glyph
             # model (photos) still land as zero-block successes.
             if cfg.ocr_images:
-                from paddle_spark.kernels.pixels import decoder_for
                 from paddle_spark.kernels.scan import ocr_page
 
-                img = decoder_for(cfg.pixel_codec)(payload)
+                img = pixel_decode(payload)
                 if img is not None:
                     r = ocr_page(img, cfg)
                     if r.parse_ok and r.n_glyphs > 0:

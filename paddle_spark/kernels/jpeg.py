@@ -7,7 +7,7 @@ grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals,
 8/16-bit quantization tables. Decoding is spec-faithful but NOT
 speed-tuned — per-bit Huffman walks in Python are fine for test corpora
 and metadata/stats paths; a throughput cluster should still swap in a
-native codec behind operators/multimodal.decode_real for bulk image
+native codec behind kernels/pixels.decoder_for("native") for bulk image
 work.
 
 Out of scope (returns None, callers degrade): arithmetic coding, 12-bit

