@@ -2240,6 +2240,142 @@ FROM agg
 """
 
 
+def q_extract_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orientation-classify stage in front of the scanned-page chain
+    with an EXACT oracle (the reference's doc_image_orientation module,
+    pipeline_config.yaml:264-272: classify 0/90/180/270, rotate upright,
+    then OCR): pages arrive rotated clockwise by (doc_id % 4) quarter
+    turns, ocr_page_oriented scores all four candidates by template-match
+    glyph count, and the reported rotation, recovered text, line/glyph/
+    speck counts are all closed-form in doc_id (kernels/scan.py
+    ocr_page_oriented; operators/scanned.extract_scanned_oriented)."""
+    import pandas as pd
+
+    from paddle_spark.operators.scanned import extract_scanned_oriented
+    from paddle_spark.sources.synth import make_rotated_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+
+    def to_page(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            yield pd.DataFrame(
+                {
+                    "url": [f"rot://{i}" for i in ids],
+                    "payload": [make_rotated_scan(i) for i in ids],
+                }
+            )
+
+    pages = docs.mapInPandas(to_page, schema="url string, payload binary")
+    return extract_scanned_oriented(pages).select(
+        "url", "rotation", "text", "n_glyphs", "n_lines", "n_dropped", "parse_ok"
+    )
+
+
+_EXTRACT_ORIENTATION_ORACLE = """
+WITH docs AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120),
+ln AS (
+  SELECT i, 0 AS j, 'DOC ' || i AS t FROM docs
+  UNION ALL
+  SELECT d.i, g.j, 'LINE ' || g.j || ' CODE ' || ((d.i*31+g.j)%97) AS t
+  FROM docs d,
+       LATERAL (SELECT unnest(generate_series(1, 1 + CAST(d.i % 4 AS INT))) AS j) g
+),
+agg AS (
+  SELECT i, string_agg(t, chr(10) ORDER BY j) AS text, COUNT(*) AS n_lines
+  FROM ln GROUP BY i
+)
+SELECT 'rot://' || i AS url,
+  CAST(i % 4 AS INT) AS rotation,
+  text,
+  CAST(length(replace(replace(text, chr(10), ''), ' ', '')) AS INT) AS n_glyphs,
+  CAST(n_lines AS INT) AS n_lines,
+  CAST(i % 3 AS INT) AS n_dropped,
+  TRUE AS parse_ok
+FROM agg
+"""
+
+
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-structure assembly with an EXACT oracle (the reference's
+    SLANet table-recognition blocks in the markdown output,
+    pipeline_config.yaml:611-935): table blocks carry detected cell
+    boxes; kernels/table.py recovers the row/column grid (y-overlap row
+    clustering + global x-interval column clustering, each cell's x
+    jittered a few px) and renders a GitHub pipe table for markdown mode
+    and a tab-separated flatten for the plain text path — both outputs
+    closed-form in doc_id."""
+    import pandas as pd
+
+    from paddle_spark.kernels.layout import extract_layout
+    from paddle_spark.sources.synth import make_table_pdf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_tbl(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = [make_table_pdf(i) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "md": [extract_layout(p, markdown=True)[0] for p in payloads],
+                    "text": [extract_layout(p)[0] for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(to_tbl, schema="doc_id long, md string, text string")
+
+
+def _tables_oracle() -> str:
+    """Spell the closed-form make_table_pdf grid as one SQL expression:
+    cell (r, c) value = (doc_id*7 + r*13 + c*5) % 100, 3 grid rows,
+    2 + doc_id%2 columns."""
+    def v(r: int, c: int) -> str:
+        return f"CAST((doc_id*7 + {r * 13} + {c * 5}) % 100 AS VARCHAR)"
+
+    def md_cells(n_cols: int) -> str:
+        rows = []
+        hdr = " || ' | ' || ".join(f"'C0{c} ' || {v(0, c)}" for c in range(n_cols))
+        rows.append(f"'| ' || {hdr} || ' |'")
+        rows.append("'| " + " | ".join(["---"] * n_cols) + " |'")
+        for r in (1, 2):
+            cells = " || ' | ' || ".join(
+                f"'C{r}{c} ' || {v(r, c)}" for c in range(n_cols)
+            )
+            rows.append(f"'| ' || {cells} || ' |'")
+        return " || chr(10) || ".join(rows)
+
+    def plain_cells(n_cols: int) -> str:
+        rows = []
+        for r in range(3):
+            rows.append(" || chr(9) || ".join(
+                f"'C{r}{c} ' || {v(r, c)}" for c in range(n_cols)
+            ))
+        return " || chr(10) || ".join(rows)
+
+    md = (
+        "'# Page 1' || chr(10) || chr(10) || '## Table doc ' || doc_id "
+        "|| chr(10) || chr(10) || "
+        f"CASE WHEN doc_id % 2 = 0 THEN {md_cells(2)} ELSE {md_cells(3)} END "
+        "|| chr(10) || 'After ' || doc_id || chr(10)"
+    )
+    plain = (
+        "'=== PAGE 1 ===' || chr(10) || chr(10) || 'Table doc ' || doc_id "
+        "|| chr(10) || "
+        f"CASE WHEN doc_id % 2 = 0 THEN {plain_cells(2)} ELSE {plain_cells(3)} END "
+        "|| chr(10) || 'After ' || doc_id || chr(10)"
+    )
+    return (
+        f"SELECT doc_id, {md} AS md, {plain} AS text "
+        "FROM documents WHERE doc_id < 100"
+    )
+
+
 def q_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection at scale with an EXACT oracle:
     banded Hamming join over the pixel dhash (operators/multimodal.
@@ -2414,10 +2550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row every round. Newest / previously-unverified entries still run
     first; two-round-stable entries run last."""
     return {
-        # --- NEW NAMES this round run first (never driver-checked before:
-        # the new operators AND the consolidated suite entries, whose
-        # branches were green under their old names through r03) ---
-        "extract_scanned": q_extract_scanned,      # NEW: pixels -> boxes -> text
+        # --- NEW NAMES this round (r5) run first ---
+        "extract_orientation": q_extract_orientation,  # NEW: 0/90/180/270 classify + OCR
+        "extract_tables": q_extract_tables,        # NEW: cell grid -> markdown table
+        # --- NEW NAMES last round (r4) ---
+        "extract_scanned": q_extract_scanned,      # pixels -> boxes -> text
         "extract_scanned_pdf": q_extract_scanned_pdf,  # NEW: scanned PDF fallback
         "mm_visual_features": q_mm_visual_features,  # NEW: dhash + histogram
         "ann_pixel_topk": q_ann_pixel_topk,        # NEW: ANN over pixel features
@@ -2476,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
+        "extract_tables": _tables_oracle(),
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
         "extract_scanned_pdf": _EXTRACT_SCANNED_PDF_ORACLE,
         "mm_visual_features": _MM_VISUAL_ORACLE,

@@ -205,6 +205,19 @@ def extract_layout(
         cap = min(cap, cfg.max_pages_per_doc)  # W4 page limit (model.py:311-316)
     pages = pdf_pages(payload, max_pages=cap)
 
+    # Table-structure assembly (SLANet analog, kernels/table.py): a
+    # detector table box may carry its detected cell boxes under "cells";
+    # render them into the block's text HERE — format depends on the
+    # output mode — so the grid text rides the geometry chain like any
+    # other block text. Boxes without cells are untouched (all existing
+    # fixtures and goldens).
+    for page in pages:
+        for b in page.get("boxes", ()):
+            if b.get("cells"):
+                from paddle_spark.kernels.table import render_table
+
+                b["text"] = render_table(b["cells"], cfg, markdown=markdown)
+
     parts: list[str] = []
     n_kept = 0
     n_dropped = 0

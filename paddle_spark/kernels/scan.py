@@ -184,6 +184,32 @@ def _decode_line(
     return "".join(out), unmatched
 
 
+def ocr_page_oriented(
+    img: np.ndarray, cfg: ExtractConfig = DEFAULT_CONFIG, ink_threshold: int = 128
+) -> tuple[int, ScanResult]:
+    """Deterministic 0/90/180/270 orientation classify + OCR — the analog
+    of the reference's doc_image_orientation module that runs before OCR
+    (pipeline_config.yaml:264-272 ``use_doc_orientation_classify``, with
+    PP-LCNet class labels 0/90/180/270): score all four quarter-turn
+    candidates by recognized-glyph count from the SAME template-match
+    chain and keep the argmax, ties to the smallest rotation (an upright
+    page therefore reproduces plain ``ocr_page`` exactly — rotated
+    variants of real glyphs don't match the upright templates, so the
+    true orientation scores strictly highest on any page with asymmetric
+    glyphs). Returns ``(k, result)`` where ``np.rot90(img, k)`` is the
+    upright frame whose chain output is ``result``."""
+    if img is None:
+        return 0, ScanResult(None, 0, 0, 0, False, "no pixels")
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    best_k, best = 0, None
+    for k in range(4):
+        r = ocr_page(np.rot90(img, k) if k else img, cfg, ink_threshold)
+        if best is None or r.n_glyphs > best.n_glyphs:
+            best_k, best = k, r
+    return best_k, best
+
+
 def ocr_page(
     img: np.ndarray, cfg: ExtractConfig = DEFAULT_CONFIG, ink_threshold: int = 128
 ) -> ScanResult:

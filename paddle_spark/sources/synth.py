@@ -241,6 +241,42 @@ def make_oracle_pdf(i: int) -> bytes:
     return b"%PDF-1.4\n%paddle-spark-synthetic\n" + body
 
 
+def make_table_pdf(i: int) -> bytes:
+    """A layout payload whose table block carries DETECTED CELL BOXES
+    ("cells" on the table box) with a grid closed-form in the doc id, so
+    a SQL oracle can spell the exact markdown/plain rendering
+    (kernels/table.py — the SLANet table-structure assembly analog):
+
+    one page: a title, a table of 3 grid rows x (2 + i%2) columns —
+    cell (r, c) text = "C<r><c> <(i*7 + r*13 + c*5) % 100>", each cell's
+    x1 jittered by (i + r + c) % 3 px to exercise the x-interval column
+    clustering — and a trailing text block. Markdown mode renders the
+    GitHub pipe table (grid row 0 = header); plain mode renders
+    tab-separated rows.
+    """
+    n_cols = 2 + i % 2
+    cells = []
+    for r in range(3):
+        for c in range(n_cols):
+            x1 = 100.0 + c * 120 + (i + r + c) % 3
+            y1 = 400.0 + r * 40
+            cells.append({
+                "x1": x1, "y1": y1, "x2": x1 + 100.0, "y2": y1 + 30.0,
+                "text": f"C{r}{c} {(i * 7 + r * 13 + c * 5) % 100}",
+            })
+    table = _box(1, "table", 90, 390, 110 + n_cols * 120, 530, 0.9, "")
+    table["cells"] = cells
+    pages = [
+        {"page_no": 0, "width": 1700, "height": 2200, "boxes": [
+            _box(0, "title", 100, 100, 900, 170, 0.95, f"Table doc {i}"),
+            table,
+            _box(2, "text", 100, 600, 900, 700, 0.9, f"After {i}"),
+        ]},
+    ]
+    body = json.dumps({"pages": pages}, sort_keys=True).encode("utf-8")
+    return b"%PDF-1.4\n%paddle-spark-synthetic\n" + body
+
+
 def make_real_pdf(page_texts: list[list[str]], compress: bool = False) -> bytes:
     """A minimal but VALID born-digital PDF (PDF 1.4 syntax: catalog ->
     page tree -> per-page FlateDecode-or-raw content streams, correct xref)
@@ -1112,6 +1148,21 @@ def make_scanned_page(i: int, margin: int = 4) -> bytes:
     for s in range(i % 3):
         img[1, 1 + 5 * s] = 0
     return make_png(img)
+
+
+def make_rotated_scan(i: int, rot: int | None = None, margin: int = 4) -> bytes:
+    """``make_scanned_page(i)`` rotated clockwise by ``rot`` quarter
+    turns (default ``i % 4`` so a corpus cycles all four orientations).
+    The upright frame is recovered by ``np.rot90(img, rot)`` — exactly
+    what detect-orientation must report."""
+    from paddle_spark.kernels.font import render_page
+
+    if rot is None:
+        rot = i % 4
+    img = render_page(scanned_lines(i), margin=margin)
+    for s in range(i % 3):
+        img[1, 1 + 5 * s] = 0
+    return make_png(np.ascontiguousarray(np.rot90(img, -rot)))
 
 
 # ---------------------------------------------------------------------------

@@ -387,3 +387,56 @@ def test_connected_components_equals_bfs_reference(seed):
     )
     exp = sorted(_cc_reference_bfs(binary))
     assert got == exp
+
+
+class TestOrientation:
+    """ocr_page_oriented: the 0/90/180/270 orientation-classify stage
+    (reference doc_image_orientation analog, pipeline_config.yaml:264-272)."""
+
+    def test_all_four_rotations_recovered(self):
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.kernels.scan import ocr_page_oriented
+        from paddle_spark.sources.synth import make_rotated_scan, scanned_lines
+
+        for i in range(16):
+            img = decode_pixels(make_rotated_scan(i))
+            rot, r = ocr_page_oriented(img)
+            assert rot == i % 4, i
+            assert r.parse_ok and r.text == "\n".join(scanned_lines(i)), i
+            assert r.n_dropped == i % 3, i  # specks rotate along
+
+    def test_upright_reproduces_plain_ocr_page(self):
+        from paddle_spark.kernels.pixels import decode_pixels
+        from paddle_spark.kernels.scan import ocr_page, ocr_page_oriented
+        from paddle_spark.sources.synth import make_scanned_page
+
+        img = decode_pixels(make_scanned_page(7))
+        rot, r = ocr_page_oriented(img)
+        assert rot == 0
+        assert r == ocr_page(img[:, :, 0] if img.ndim == 3 else img)
+
+    def test_blank_page_defaults_to_zero(self):
+        import numpy as np
+
+        from paddle_spark.kernels.scan import ocr_page_oriented
+
+        rot, r = ocr_page_oriented(np.full((20, 30), 255, np.uint8))
+        assert rot == 0 and r.parse_ok and r.text == ""
+        rot, r = ocr_page_oriented(None)
+        assert rot == 0 and not r.parse_ok
+
+    def test_operator_oriented(self, spark):
+        import pandas as pd
+
+        from paddle_spark.operators.scanned import extract_scanned_oriented
+        from paddle_spark.sources.synth import make_rotated_scan, scanned_lines
+
+        rows = [(f"scan://{i}", bytearray(make_rotated_scan(i))) for i in range(12)]
+        rows.append(("scan://bad", bytearray(b"garbage")))
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        out = {r["url"]: r for r in extract_scanned_oriented(df, n_partitions=3).collect()}
+        for i in range(12):
+            r = out[f"scan://{i}"]
+            assert r["rotation"] == i % 4
+            assert r["parse_ok"] and r["text"] == "\n".join(scanned_lines(i))
+        assert not out["scan://bad"]["parse_ok"]
