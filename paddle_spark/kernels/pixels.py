@@ -10,10 +10,12 @@ RGB -> BGR, largest-dimension downscale cap with bilinear resampling;
 :355-364). GIF frames decode too (LZW per the GIF89a spec, interlacing
 undone), as do JPEG (kernels/jpeg.py, baseline + progressive) and TIFF
 (strips/LZW/PackBits below), and WEBP lossless (VP8L: prefix codes +
-LZ77 + transforms, kernels/webp.py). The one remaining declared seam is
-LOSSY WEBP (VP8 boolean arithmetic coder + DCT) — those payloads keep
-header dims via kernels/raster.py and return None here so callers
-degrade.
+LZ77 + transforms, kernels/webp.py). Lossy WEBP (VP8) routes through a
+system-libwebp ctypes arm (kernels/webp_native.py — the RFC 6386
+default-probability tables cannot be re-derived offline; the BSD system
+codec fills that arm the way stdlib zlib backs the PNG path); hosts
+without libwebp keep header dims via kernels/raster.py and degrade to
+None.
 
 Scope (graceful degradation, never an exception escaping decode_pixels):
 - PNG: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
@@ -668,8 +670,9 @@ def decode_tiff_pixels(p: bytes, ifd: int = 0) -> np.ndarray | None:
 
 def decode_pixels(p: bytes | None) -> np.ndarray | None:
     """Dispatch on container magic. PNG/BMP/GIF(first frame)/JPEG
-    (baseline + progressive)/TIFF decode here; WEBP (VP8 entropy) is the
-    remaining declared seam (header dims via raster.py)."""
+    (baseline + progressive)/TIFF/WEBP-lossless decode here in pure
+    Python; lossy WEBP rides the system-libwebp arm (webp_native.py) and
+    degrades to None without it (header dims via raster.py)."""
     if not p:
         return None
     try:

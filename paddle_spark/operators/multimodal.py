@@ -8,7 +8,8 @@ real for PNG, BMP, GIF (per-frame LZW + animation composition), JPEG
 kernels/jpeg.py + kernels/webp.py — pure zlib/NumPy) and feeds
 ``pixel_stats`` / ``frame_sample`` with the reference's channel
 preprocessing (gray -> 3ch, alpha drop, downscale cap, RGB -> BGR).
-Only lossy-WEBP (VP8) and audio/video remain the declared seam. There is
+Lossy WEBP decodes through the system-libwebp ctypes arm
+(kernels/webp_native.py); only audio/video remain the declared seam. There is
 ONE codec switch for the whole package — ``kernels/pixels.decoder_for``:
 every pixel operator (including ``decode_media``) takes a ``codec`` knob
 resolved there at plan construction ('python' = the pure codecs here,
@@ -316,8 +317,8 @@ def pixel_stats(
     3-channel normalize, largest-dim downscale cap, RGB->BGR
     (model.py:328-334, :355-364) — then per-channel means of the
     processed frame. Arrow-batched mapInPandas with per-item isolation
-    (T5): undecodable payloads (WEBP = the declared seam, out-of-scope
-    variants, or garbage) yield decode_ok=false rows, never task
+    (T5): undecodable payloads (out-of-scope variants, lossy WEBP on a
+    host without libwebp, or garbage) yield decode_ok=false rows, never task
     failures. ``codec`` gates the decode path (kernels/pixels.decoder_for):
     'off' refuses at plan construction, 'native' demands PIL — a bulk job
     must opt into the pure-Python codecs deliberately."""

@@ -92,8 +92,10 @@ class TestContainerAndDegradation:
             q[pos] ^= 0xFF
             decode_webp_pixels(bytes(q))  # any return ok, no exception
 
-    def test_lossy_vp8_stays_seam(self):
-        # a VP8 (lossy) chunk: header parses, pixels decline
+    def test_garbage_lossy_vp8_degrades(self):
+        # a VP8 (lossy) chunk of zero bytes: header walk survives, decode
+        # declines (libwebp rejects the invalid frame; without libwebp the
+        # arm is a declared seam) — never raises either way
         body = b"\x00" * 20
         chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
         riff = b"WEBP" + chunk
@@ -219,3 +221,80 @@ class TestHandCraftedTransforms:
         _vp8l_encode_image(bw, res)
         out = decode_webp_pixels(self._container(bw.bytes()))
         assert out is not None and (out == img).all()
+
+
+def _encode_lossy_rgb(arr, quality=90.0):
+    """Test-only lossy VP8 encoder via the system libwebp (ctypes) — an
+    INDEPENDENT producer for the decode path under test."""
+    import ctypes
+
+    lib = ctypes.CDLL("libwebp.so.7")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    h, w = arr.shape[:2]
+    data = np.ascontiguousarray(arr).tobytes()
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    n = lib.WebPEncodeRGB(
+        data, ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(3 * w),
+        ctypes.c_float(quality), ctypes.byref(out),
+    )
+    if n == 0:
+        return None
+    try:
+        return ctypes.string_at(out, n)
+    finally:
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+class TestNativeLossyArm:
+    """Lossy VP8 through the system-libwebp arm (kernels/webp_native.py),
+    gated on the library being present — which it is on ordinary Linux
+    images. The VP8L parity test doubles as an independent third-party
+    cross-check of the from-scratch lossless decoder."""
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        from paddle_spark.kernels.webp_native import have_native_webp
+
+        if not have_native_webp():
+            pytest.skip("no system libwebp")
+
+    def test_lossy_roundtrip_dims_and_fidelity(self):
+        rng = np.random.RandomState(5)
+        # smooth gradient + low noise: lossy codec must stay close
+        y = np.linspace(40, 200, 24)[:, None]
+        x = np.linspace(0, 55, 31)[None, :]
+        arr = np.clip(y + x + rng.randint(0, 3, (24, 31)), 0, 255)
+        arr = np.repeat(arr[:, :, None], 3, axis=2).astype(np.uint8)
+        p = _encode_lossy_rgb(arr, quality=95.0)
+        assert p is not None and p[12:16] == b"VP8 "
+        got = decode_webp_pixels(p)
+        assert got is not None and got.shape == (24, 31, 3)
+        assert float(np.mean(np.abs(got.astype(int) - arr.astype(int)))) < 8.0
+        # header dims agree with the pure-Python container parser
+        meta = decode_image_header(p)
+        assert (meta["width"], meta["height"]) == (31, 24)
+        # and the magic dispatch reaches it
+        assert decode_pixels(p).shape == (24, 31, 3)
+
+    def test_vp8l_pure_decoder_matches_libwebp(self):
+        """Byte-identical VP8L pixels: from-scratch decoder vs the real
+        third-party implementation, across the spec-twin feature matrix."""
+        from paddle_spark.kernels.webp_native import decode_webp_native
+
+        rng = np.random.RandomState(11)
+        fixtures = [
+            make_webp(rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)),
+            make_webp(rng.randint(0, 256, (8, 21, 3), dtype=np.uint8),
+                      subtract_green=True),
+            make_webp(np.tile(rng.randint(0, 256, (1, 7, 3), dtype=np.uint8),
+                              (11, 3, 1))),  # LZ77-friendly rows
+        ]
+        for p in fixtures:
+            pure = decode_webp_pixels(p)
+            nat = decode_webp_native(p, rgba=True)
+            assert pure is not None and nat is not None
+            if pure.shape[2] == 3:
+                assert (nat[:, :, 3] == 255).all()
+                nat = nat[:, :, :3]
+            assert np.array_equal(pure, nat)
