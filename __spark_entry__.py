@@ -2376,6 +2376,109 @@ def _tables_oracle() -> str:
     )
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM decode with an EXACT oracle (kernels/riffav.py +
+    operators/multimodal.audio_stats): square-wave fixtures at dyadic
+    amplitudes (1 + i%8)/128 — exactly representable at BOTH 8-bit and
+    16-bit quantization — so RMS == peak == amplitude bit-exactly, and
+    n_samples = 8000 + 400*(i%7) at 8 kHz gives integral durations."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import audio_stats
+    from paddle_spark.sources.synth import make_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_wav(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                amp = (1 + i % 8) / 128.0
+                n = 8000 + 400 * (i % 7)
+                sq = np.tile([amp, -amp], n // 2)
+                ch = 1 + i % 2
+                sig = np.stack([sq] * ch, axis=1)
+                bits = 8 if i % 3 == 0 else 16
+                payloads.append(make_wav(sig, 8000, bits))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_wav, schema="media_id long, payload binary")
+    return audio_stats(media).filter(F.col("decode_ok")).drop("decode_ok")
+
+
+_AUDIO_STATS_ORACLE = """
+SELECT doc_id AS media_id,
+  8000 AS sample_rate,
+  CAST(1 + doc_id % 2 AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+  CAST(8000 + 400 * (doc_id % 7) AS BIGINT) AS n_samples,
+  (8000 + 400 * (doc_id % 7)) / 8.0 AS duration_ms,
+  (1 + doc_id % 8) / 128.0 AS rms,
+  (1 + doc_id % 8) / 128.0 AS peak
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling with an EXACT oracle: AVI containers
+    (spec-twin make_avi_mjpeg) holding 2 + i%4 solid-gray MJPEG frames —
+    each frame a complete baseline JPEG whose flat-quant DC path decodes
+    the planted gray losslessly (same property the mm_pixel_stats JPEG
+    arm uses) — walked by kernels/riffav.avi_frames and decoded through
+    the SAME pixel codec as images (kernels/jpeg.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import video_frames
+    from paddle_spark.sources.synth import make_avi_mjpeg, make_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_avi(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                w, h = 16 + 8 * (i % 5), 16 + 8 * (i % 3)
+                frames = [
+                    make_jpeg(np.full((h, w), (i * 37 + f * 11) % 250, np.uint8))
+                    for f in range(2 + i % 4)
+                ]
+                payloads.append(make_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_avi, schema="media_id long, payload binary")
+    return video_frames(media, every_k=1, max_frames=8)
+
+
+_VIDEO_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 100)
+SELECT d.i AS media_id,
+  CAST(g.f AS INT) AS frame_no,
+  CAST(16 + 8 * (d.i % 5) AS INT) AS width,
+  CAST(16 + 8 * (d.i % 3) AS INT) AS height,
+  CAST((d.i * 37 + g.f * 11) % 250 AS DOUBLE) AS mean_r,
+  CAST((d.i * 37 + g.f * 11) % 250 AS DOUBLE) AS mean_g,
+  CAST((d.i * 37 + g.f * 11) % 250 AS DOUBLE) AS mean_b
+FROM d, LATERAL (SELECT unnest(generate_series(0, 1 + CAST(d.i % 4 AS INT))) AS f) g
+"""
+
+
+def q_mm_audio_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video suite: WAV/PCM feature extraction and AVI/MJPEG
+    frame sampling (kernels/riffav.py), unioned by name."""
+    return _suite_frame(spark, sf_dir, [
+        ("audio_stats", q_audio_stats),
+        ("video_frames", q_video_frames),
+    ])
+
+
 def q_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection at scale with an EXACT oracle:
     banded Hamming join over the pixel dhash (operators/multimodal.
@@ -2553,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW NAMES this round (r5) run first ---
         "extract_orientation": q_extract_orientation,  # NEW: 0/90/180/270 classify + OCR
         "extract_tables": q_extract_tables,        # NEW: cell grid -> markdown table
+        "mm_audio_video": q_mm_audio_video,        # NEW: WAV stats + AVI frame sample
         # --- NEW NAMES last round (r4) ---
         "extract_scanned": q_extract_scanned,      # pixels -> boxes -> text
         "extract_scanned_pdf": q_extract_scanned_pdf,  # NEW: scanned PDF fallback
@@ -2615,6 +2719,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
         "extract_tables": _tables_oracle(),
+        "mm_audio_video": _suite_oracle([
+            ("audio_stats", _AUDIO_STATS_ORACLE),
+            ("video_frames", _VIDEO_FRAMES_ORACLE),
+        ]),
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
         "extract_scanned_pdf": _EXTRACT_SCANNED_PDF_ORACLE,
         "mm_visual_features": _MM_VISUAL_ORACLE,

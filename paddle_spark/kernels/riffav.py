@@ -1,0 +1,142 @@
+"""RIFF-family audio/video containers: WAV (PCM) and AVI (MJPEG) — pure
+Python/NumPy, Spark-free like every kernel.
+
+Closes the audio/video half of the multimodal surface with REAL
+containers instead of digest stubs: a WAV decoder for PCM samples
+(audio feature extraction — RMS/peak/duration) and an AVI walker that
+yields per-frame payloads (MJPEG frames decode through the from-scratch
+JPEG decoder, kernels/jpeg.py — so video frame-sampling reuses the same
+pixel path as images). The reference has no audio path; this is part of
+the training-data-pipeline mandate (multimodal columns with typed
+metadata + real Spark plumbing). Neural audio embeddings remain the
+documented swap point, exactly like image embeddings.
+
+Scope (graceful degradation, never an exception escaping the decoders):
+- WAV: RIFF/WAVE, 'fmt ' PCM (format tag 1), 8-bit unsigned or 16-bit
+  signed LE, any channel count; samples normalize to float64 in
+  [-1, 1) as frames x channels.
+- AVI: RIFF/'AVI ', LIST walk ('hdrl' avih for frame count/dims/rate,
+  'movi' for '##db'/'##dc' frame chunks). Codec-agnostic at this layer:
+  frame payloads return as bytes; MJPEG frames start with the JPEG SOI
+  marker and decode via kernels/pixels.decode_pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_SAMPLES = 1 << 26  # bounded-memory cap, same policy as the pixel codecs
+
+
+def _riff_chunks(p: bytes, start: int, end: int):
+    """Yield (fourcc, body_offset, body_size) over a RIFF chunk run."""
+    off = start
+    while off + 8 <= end:
+        tag = p[off : off + 4]
+        (size,) = struct.unpack("<I", p[off + 4 : off + 8])
+        if off + 8 + size > end:
+            return
+        yield tag, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def decode_wav(p: bytes | None) -> dict | None:
+    """Parse a PCM WAV payload.
+
+    Returns ``{"sample_rate", "channels", "bits", "n_samples",
+    "samples"}`` where ``samples`` is (n_frames, channels) float64 in
+    [-1, 1) — 16-bit as v/32768, 8-bit as (v-128)/128 — or None for
+    non-WAV / non-PCM / malformed payloads.
+    """
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    for tag, off, size in _riff_chunks(p, 12, min(len(p), 12 + 8 + struct.unpack("<I", p[4:8])[0])):
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", p[off : off + 16])
+        elif tag == b"data":
+            data = p[off : off + size]
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or channels == 0 or rate == 0 or bits not in (8, 16):
+        return None
+    bytes_per_frame = channels * bits // 8
+    n_frames = len(data) // bytes_per_frame
+    if n_frames == 0 or n_frames * channels > MAX_SAMPLES:
+        return None
+    data = data[: n_frames * bytes_per_frame]
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "n_samples": int(n_frames),
+        "samples": raw.reshape(n_frames, channels),
+    }
+
+
+def audio_features(p: bytes | None) -> dict | None:
+    """Deterministic audio features from decoded PCM: duration (ms,
+    float), RMS and peak of the normalized signal across all channels —
+    the audio analog of pixel_stats' channel means (the neural-embedding
+    swap point stays a swap point)."""
+    wav = decode_wav(p)
+    if wav is None:
+        return None
+    s = wav["samples"]
+    return {
+        "sample_rate": wav["sample_rate"],
+        "channels": wav["channels"],
+        "bits": wav["bits"],
+        "n_samples": wav["n_samples"],
+        "duration_ms": 1000.0 * wav["n_samples"] / wav["sample_rate"],
+        "rms": float(np.sqrt(np.mean(s * s))),
+        "peak": float(np.max(np.abs(s))),
+    }
+
+
+def avi_meta(p: bytes | None) -> dict | None:
+    """Main AVI header: {"n_frames", "width", "height", "us_per_frame"}
+    from the 'avih' chunk inside LIST hdrl; None for non-AVI payloads."""
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    for tag, off, size in _riff_chunks(p, 12, len(p)):
+        if tag == b"LIST" and p[off : off + 4] == b"hdrl":
+            for t2, o2, s2 in _riff_chunks(p, off + 4, off + size):
+                if t2 == b"avih" and s2 >= 40:
+                    us, _mbps, _pad, _flags, total, _init, _streams, _buf, w, h = (
+                        struct.unpack("<10I", p[o2 : o2 + 40])
+                    )
+                    return {
+                        "n_frames": int(total),
+                        "width": int(w),
+                        "height": int(h),
+                        "us_per_frame": int(us),
+                    }
+    return None
+
+
+def avi_frames(p: bytes | None) -> list[bytes]:
+    """All frame payloads ('##db' raw / '##dc' compressed chunks of the
+    LIST movi), in stream order. MJPEG frames are complete JPEGs."""
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return []
+    out: list[bytes] = []
+    for tag, off, size in _riff_chunks(p, 12, len(p)):
+        if tag == b"LIST" and p[off : off + 4] == b"movi":
+            for t2, o2, s2 in _riff_chunks(p, off + 4, off + size):
+                if t2[2:4] in (b"db", b"dc") and t2[:2].isdigit():
+                    out.append(p[o2 : o2 + s2])
+    return out
+
+
+def avi_frame(p: bytes | None, k: int) -> bytes | None:
+    frames = avi_frames(p)
+    return frames[k] if 0 <= k < len(frames) else None

@@ -482,3 +482,113 @@ def frame_sample(
             )
 
     return src.mapInPandas(batch, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("bits", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Audio feature extraction over WAV binary columns — the audio
+    analog of pixel_stats: decode PCM (kernels/riffav.decode_wav),
+    report rate/channels/bits/sample count plus duration, RMS and peak
+    of the normalized signal. Arrow-batched mapInPandas, map-only plan,
+    per-item isolation (T5: non-WAV/garbage -> decode_ok=false rows).
+    Neural audio embeddings remain the documented swap point, exactly
+    like the image feature vectors."""
+    from paddle_spark.kernels.riffav import audio_features
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload) if payload is not None else None
+                    f = audio_features(p)
+                except Exception:  # per-item isolation
+                    f = None
+                if f is None:
+                    rows.append((int(mid), 0, 0, 0, 0, 0.0, 0.0, 0.0, False))
+                else:
+                    rows.append((
+                        int(mid), f["sample_rate"], f["channels"], f["bits"],
+                        f["n_samples"], f["duration_ms"], f["rms"], f["peak"],
+                        True,
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "channels", "bits", "n_samples",
+                "duration_ms", "rms", "peak", "decode_ok",
+            ])
+
+    return src.mapInPandas(batch, schema=AUDIO_SCHEMA)
+
+
+def video_frames(
+    media: DataFrame,
+    every_k: int = 1,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "python",
+) -> DataFrame:
+    """Video frame sampling over AVI/MJPEG binary columns — the video
+    side of frame_sample's fan-out (1 media row -> N sampled frames):
+    walk the movi chunk list (kernels/riffav.avi_frames), decode every
+    ``every_k``-th frame payload through the SAME pixel codec switch the
+    image path uses (MJPEG frames are complete JPEGs ->
+    kernels/jpeg.py under codec='python'), report dims + channel means.
+    ``codec`` resolves at plan construction; same cap semantics and
+    per-item isolation as frame_sample."""
+    from paddle_spark.kernels.pixels import decoder_for, to_3ch
+    from paddle_spark.kernels.riffav import avi_frames
+
+    decode = decoder_for(codec)  # validates / gates at plan construction
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload) if payload is not None else None
+                    frames = avi_frames(p)
+                    for fno in list(range(0, len(frames), every_k))[:max_frames]:
+                        img = decode(frames[fno])
+                        if img is None:
+                            continue
+                        h, w = img.shape[:2]
+                        m = to_3ch(img).reshape(-1, 3).mean(axis=0)
+                        rows.append((
+                            int(mid), int(fno), int(w), int(h),
+                            round(float(m[0]), 6),
+                            round(float(m[1]), 6),
+                            round(float(m[2]), 6),
+                        ))
+                except Exception:  # per-item isolation
+                    continue
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_no", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            ])
+
+    return src.mapInPandas(batch, schema=FRAME_SCHEMA)

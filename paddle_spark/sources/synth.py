@@ -26,6 +26,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import random
+import struct
 
 import numpy as np
 import pandas as pd
@@ -1021,6 +1022,62 @@ def make_tiff(
     for s in strips:
         out += s
     return bytes(out)
+
+
+def make_wav(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
+    """A valid RIFF/WAVE PCM payload from an (n, channels) or (n,) array
+    of normalized float samples in [-1, 1) — the spec-twin encoder for
+    kernels/riffav.decode_wav (fmt + data chunks, 16-bit signed LE or
+    8-bit unsigned)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 16:
+        raw = np.clip(np.rint(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    else:
+        raw = np.clip(np.rint(arr * 128.0 + 128.0), 0, 255).astype(np.uint8).tobytes()
+    balign = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * balign, balign, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                   fps: int = 25) -> bytes:
+    """A valid minimal AVI container wrapping pre-encoded MJPEG frames
+    (each a complete JPEG): LIST hdrl (avih + one 'vids'/'MJPG' stream)
+    + LIST movi of '00dc' chunks — the spec twin for
+    kernels/riffav.avi_meta / avi_frames."""
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    us = 1_000_000 // fps
+    avih = struct.pack(
+        "<10I16x", us, 0, 0, 0, len(frames), 0, 1, 0, width, height
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_garbage(rng: random.Random) -> bytes:

@@ -1,0 +1,120 @@
+"""WAV/PCM + AVI/MJPEG kernels (kernels/riffav.py) and their operators
+(multimodal.audio_stats / video_frames): spec-twin roundtrips, feature
+exactness on dyadic fixtures, container malformation, per-item isolation."""
+
+import numpy as np
+import pytest
+
+from paddle_spark.kernels.riffav import (
+    audio_features,
+    avi_frame,
+    avi_frames,
+    avi_meta,
+    decode_wav,
+)
+from paddle_spark.sources.synth import make_avi_mjpeg, make_jpeg, make_wav
+
+
+class TestWav:
+    def test_square_wave_exact_features(self):
+        amp = 5 / 128.0  # dyadic: exact at 8- and 16-bit quantization
+        sig = np.tile([amp, -amp], 600)
+        for bits in (8, 16):
+            f = audio_features(make_wav(sig, 8000, bits))
+            assert f["bits"] == bits and f["channels"] == 1
+            assert f["n_samples"] == 1200 and f["duration_ms"] == 150.0
+            assert f["rms"] == amp and f["peak"] == amp
+
+    def test_stereo_shapes_and_normalization(self):
+        sig = np.stack([np.linspace(-0.5, 0.5, 100), np.zeros(100)], axis=1)
+        w = decode_wav(make_wav(sig, 44100, 16))
+        assert w["channels"] == 2 and w["samples"].shape == (100, 2)
+        assert np.max(np.abs(w["samples"][:, 0] - sig[:, 0])) <= 1 / 32768.0
+        assert np.all(w["samples"][:, 1] == 0.0)
+
+    def test_malformed_degrades(self):
+        good = make_wav(np.zeros(64), 8000, 16)
+        assert decode_wav(None) is None
+        assert decode_wav(b"RIFFxxxxWAVE") is None          # no chunks
+        assert decode_wav(b"not a riff at all") is None
+        assert decode_wav(good[:30]) is None                 # truncated
+        bad = bytearray(good)
+        bad[20] = 3                                          # float PCM tag
+        assert decode_wav(bytes(bad)) is None
+        assert audio_features(b"\x89PNG\r\n\x1a\n" + b"x" * 40) is None
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        base = make_wav(np.sin(np.arange(500) / 10.0) * 0.4, 8000, 16)
+        rng = random.Random(3)
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = decode_wav(bytes(b))
+            assert out is None or out["n_samples"] > 0
+
+
+class TestAvi:
+    def _avi(self, grays, w=32, h=24, fps=10):
+        return make_avi_mjpeg(
+            [make_jpeg(np.full((h, w), g, np.uint8)) for g in grays], w, h, fps
+        )
+
+    def test_meta_and_frame_walk(self):
+        p = self._avi([10, 90, 170], fps=25)
+        m = avi_meta(p)
+        assert m == {"n_frames": 3, "width": 32, "height": 24,
+                     "us_per_frame": 40000}
+        fs = avi_frames(p)
+        assert len(fs) == 3 and all(f[:3] == b"\xff\xd8\xff" for f in fs)
+        assert avi_frame(p, 2) == fs[2] and avi_frame(p, 3) is None
+
+    def test_frames_decode_through_jpeg_kernel(self):
+        from paddle_spark.kernels.pixels import decode_pixels
+
+        p = self._avi([40, 200])
+        for g, fb in zip((40, 200), avi_frames(p)):
+            img = decode_pixels(fb)
+            assert img.shape[:2] == (24, 32) and float(img.mean()) == g
+
+    def test_malformed_degrades(self):
+        assert avi_meta(b"RIFFxxxxAVI ") is None
+        assert avi_frames(b"RIFFxxxxWAVE") == []
+        assert avi_meta(None) is None and avi_frames(None) == []
+        p = bytearray(self._avi([50]))
+        assert avi_frames(bytes(p[: len(p) // 3])) == []  # truncated movi
+
+
+class TestOperators:
+    def test_audio_stats_isolation(self, spark):
+        amp = 4 / 128.0
+        rows = [
+            (0, bytearray(make_wav(np.tile([amp, -amp], 400), 8000, 16))),
+            (1, bytearray(b"garbage bytes")),
+        ]
+        from paddle_spark.operators.multimodal import audio_stats
+
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r["media_id"]: r for r in audio_stats(df).collect()}
+        assert out[0]["decode_ok"] and out[0]["rms"] == amp
+        assert out[0]["duration_ms"] == 100.0
+        assert not out[1]["decode_ok"]
+
+    def test_video_frames_fan_out_and_codec_gate(self, spark):
+        from paddle_spark.operators.multimodal import video_frames
+
+        p = make_avi_mjpeg(
+            [make_jpeg(np.full((16, 24), g, np.uint8)) for g in (30, 60, 90, 120)],
+            24, 16,
+        )
+        df = spark.createDataFrame(
+            [(7, bytearray(p)), (8, bytearray(b"junk"))],
+            "media_id long, payload binary",
+        )
+        out = video_frames(df, every_k=2, max_frames=8).collect()
+        got = {(r["media_id"], r["frame_no"]): r["mean_r"] for r in out}
+        assert got == {(7, 0): 30.0, (7, 2): 90.0}
+        with pytest.raises(ValueError):
+            video_frames(df, codec="off")  # plan-construction refusal
