@@ -21,11 +21,13 @@ def payload_kind_col(html: Column) -> Column:
     Mirrors kernels.classify.classify_payload; usable for partition
     pruning / branch statistics without entering Python.
     """
-    head = F.substring(html, 1, 8)
     is_pdf = F.substring(html, 1, 4) == F.lit(PDF_MAGIC)
     img = F.lit(False)
     for magic in IMAGE_MAGICS:
         img = img | (F.substring(html, 1, len(magic)) == F.lit(magic))
+    # RIFF containers split on the form type at bytes 9..12 (1-indexed)
+    is_riff = F.substring(html, 1, 4) == F.lit(b"RIFF")
+    riff_form = F.substring(html, 9, 4)
     # HTML: first non-whitespace byte is '<' (checked on a decoded prefix).
     # ltrim strips only spaces; the kernel's bytes.lstrip() strips all ASCII
     # whitespace (\t \n \r \x0b \x0c), so trim with a regex for parity.
@@ -36,6 +38,10 @@ def payload_kind_col(html: Column) -> Column:
     return (
         F.when(is_pdf, F.lit("pdf"))
         .when(img, F.lit("image"))
+        .when(is_riff & (riff_form == F.lit(b"WEBP")), F.lit("image"))
+        .when(is_riff & (riff_form == F.lit(b"WAVE")), F.lit("audio"))
+        .when(is_riff & (riff_form == F.lit(b"AVI ")), F.lit("video"))
+        .when(is_riff, F.lit("garbage"))
         .when(is_html, F.lit("html"))
         .otherwise(F.lit("garbage"))
     )

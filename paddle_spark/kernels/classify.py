@@ -22,17 +22,26 @@ IMAGE_MAGICS = (
     b"GIF89a",
     b"II*\x00",               # TIFF little-endian
     b"MM\x00*",               # TIFF big-endian
-    b"RIFF",                  # WEBP container (checked loosely)
 )
+# RIFF containers disambiguate on the form type at bytes 8:12
+RIFF_FORMS = {
+    b"WEBP": "image",
+    b"WAVE": "audio",
+    b"AVI ": "video",
+}
 
 KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_IMAGE = "image"
+KIND_AUDIO = "audio"
+KIND_VIDEO = "video"
 KIND_GARBAGE = "garbage"
 
 
 def classify_payload(payload: bytes | None) -> str:
-    """Classify raw page bytes into html / pdf / image / garbage."""
+    """Classify raw page bytes into html / pdf / image / audio / video /
+    garbage. RIFF payloads split by form type (WEBP -> image, WAVE ->
+    audio, AVI -> video; unknown RIFF forms -> garbage)."""
     if not payload:
         return KIND_GARBAGE
     if payload[:4] == PDF_MAGIC:
@@ -40,6 +49,8 @@ def classify_payload(payload: bytes | None) -> str:
     for magic in IMAGE_MAGICS:
         if payload[: len(magic)] == magic:
             return KIND_IMAGE
+    if payload[:4] == b"RIFF":
+        return RIFF_FORMS.get(payload[8:12], KIND_GARBAGE)
     head = payload[:256].lstrip()
     if head[:1] == b"<":
         return KIND_HTML

@@ -9,6 +9,11 @@ def test_magic_bytes():
     assert classify_payload(b"\xff\xd8\xffdata") == "image"
     assert classify_payload(b"GIF89aabc") == "image"
     assert classify_payload(b"II*\x00tiff") == "image"
+    assert classify_payload(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image"
+    assert classify_payload(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio"
+    assert classify_payload(b"RIFF\x00\x00\x00\x00AVI LIST") == "video"
+    assert classify_payload(b"RIFF\x00\x00\x00\x00ACONanih") == "garbage"
+    assert classify_payload(b"RIFF\x00\x00") == "garbage"  # truncated form
     assert classify_payload(b"\x00\x01binary") == "garbage"
     assert classify_payload(b"") == "garbage"
     assert classify_payload(None) == "garbage"
@@ -26,6 +31,9 @@ def test_column_twin_parity(spark):
         b"\n<!DOCTYPE html><body>x</body>", b"\t\r\n<html>", b"\x0b\x0c<html>",
         b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xffdata", b"GIF89aabc",
         b"II*\x00tiff", b"\x00\x01binary", b"", b"plain text not html",
+        b"RIFF\x00\x00\x00\x00WEBPVP8 ", b"RIFF\x00\x00\x00\x00WAVEfmt ",
+        b"RIFF\x00\x00\x00\x00AVI LIST", b"RIFF\x00\x00\x00\x00ACONanih",
+        b"RIFF\x00\x00",
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "i int, html binary"
