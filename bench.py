@@ -45,6 +45,8 @@ HEADLINE = [
     "text_stats",      # tokens + quality + fingerprint (consolidated)
     "extract_real_pdf",  # real PDF parser chain, exact-oracled
     "extract_scanned",   # pixels -> boxes -> text (round-4 branch)
+    "extract_orientation",  # 0/90/180/270 classify + OCR (round-5)
+    "extract_tables",    # cell grid -> markdown/plain tables (round-5)
 ]
 
 
@@ -256,6 +258,7 @@ def main() -> None:
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.46,
         "dedup_minhash_lsh": 1.08, "ann_topk": 0.44, "text_stats": 0.59,
         "extract_real_pdf": 0.63, "extract_scanned": 0.66,
+        "extract_orientation": 0.72, "extract_tables": 0.42,
     }
     suspect = [
         n for n, ref in quiet_ref.items()
