@@ -116,7 +116,11 @@ def normalize_text(raw: str) -> str:
     without '&', so the guard changes nothing but the cost."""
     if "&" in raw:
         raw = _htmlmod.unescape(raw)
-    return _WS_RE.sub(" ", raw).strip()
+    # " ".join(split()) ≡ _WS_RE.sub(" ", raw).strip() — str.split() and
+    # re's \s both use Py_UNICODE_ISSPACE, and the join re-inserts one
+    # space per gap; measured ~4x faster (this is the hottest line of the
+    # HTML branch), fuzz-pinned equivalent incl. \x1c-\x1f and NBSP.
+    return " ".join(raw.split())
 
 
 # Charset sniffing: Common-Crawl payloads are NOT all utf-8. We honor the
