@@ -15,10 +15,12 @@ from dataclasses import dataclass
 
 from paddle_spark.config import DEFAULT_CONFIG, ExtractConfig
 from paddle_spark.kernels.classify import (
+    KIND_AUDIO,
     KIND_GARBAGE,
     KIND_HTML,
     KIND_IMAGE,
     KIND_PDF,
+    KIND_VIDEO,
     classify_payload,
 )
 from paddle_spark.kernels.html import extract_html
@@ -96,6 +98,21 @@ def extract_document(
             return ExtractResult(
                 "", sha256_text(""), 0, 0, False, "layout",
                 "unparseable image header",
+            )
+        if kind in (KIND_AUDIO, KIND_VIDEO):
+            # Recognized media payload (same policy as images): a
+            # parseable container is a SUCCESSFUL zero-block extraction —
+            # crawls do carry a/v bytes and they are not parse failures.
+            # Feature extraction lives in the dedicated operators
+            # (multimodal.audio_stats / video_frames), off the text path.
+            from paddle_spark.kernels.riffav import avi_meta, decode_wav
+
+            meta = decode_wav(payload) if kind == KIND_AUDIO else avi_meta(payload)
+            if meta is not None:
+                return ExtractResult("", sha256_text(""), 0, 0, True, kind, "")
+            return ExtractResult(
+                "", sha256_text(""), 0, 0, False, kind,
+                f"unparseable {kind} container",
             )
         return ExtractResult(
             "", sha256_text(""), 0, 0, False, "none", "unrecognized payload"

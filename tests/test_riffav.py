@@ -118,3 +118,20 @@ class TestOperators:
         assert got == {(7, 0): 30.0, (7, 2): 90.0}
         with pytest.raises(ValueError):
             video_frames(df, codec="off")  # plan-construction refusal
+
+
+def test_extract_document_media_kinds():
+    """Recognized a/v containers are zero-block successes on the text
+    path (same policy as images); unparseable ones are per-doc failures,
+    never exceptions."""
+    from paddle_spark.kernels.extract import extract_document
+
+    r = extract_document(make_wav(np.zeros(100), 8000, 16))
+    assert r.parse_ok and r.branch == "audio" and r.text == ""
+    avi = make_avi_mjpeg([make_jpeg(np.full((8, 8), 5, np.uint8))], 8, 8)
+    r2 = extract_document(avi)
+    assert r2.parse_ok and r2.branch == "video" and r2.n_blocks_kept == 0
+    r3 = extract_document(b"RIFF\x00\x00\x00\x00WAVEgarbage")
+    assert not r3.parse_ok and r3.branch == "audio"
+    r4 = extract_document(b"RIFF\x00\x00\x00\x00ACONanih")
+    assert not r4.parse_ok and r4.branch == "none"
