@@ -253,7 +253,7 @@ def main() -> None:
     # its reference gets one more best-of pass and keeps the minimum.
     # References = quiet-window session, steal <= 2% (BENCH/BASELINE.md).
     quiet_ref = {
-        "extract_corpus": 3.38, "pricing_summary": 0.68,
+        "extract_corpus": 3.14, "pricing_summary": 0.68,
         "computed_key_join": 0.47, "ordered_concat": 0.43,
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.46,
         "dedup_minhash_lsh": 1.08, "ann_topk": 0.44, "text_stats": 0.59,
