@@ -2362,13 +2362,14 @@ def _tables_oracle() -> str:
         "'# Page 1' || chr(10) || chr(10) || '## Table doc ' || doc_id "
         "|| chr(10) || chr(10) || "
         f"CASE WHEN doc_id % 2 = 0 THEN {md_cells(2)} ELSE {md_cells(3)} END "
-        "|| chr(10) || 'After ' || doc_id || chr(10)"
+        "|| chr(10) || 'After ' || doc_id || chr(10) || "
+        "'![](imgs/img_in_image_box_100_800_500_1100.jpg)' || chr(10)"
     )
     plain = (
         "'=== PAGE 1 ===' || chr(10) || chr(10) || 'Table doc ' || doc_id "
         "|| chr(10) || "
         f"CASE WHEN doc_id % 2 = 0 THEN {plain_cells(2)} ELSE {plain_cells(3)} END "
-        "|| chr(10) || 'After ' || doc_id || chr(10)"
+        "|| chr(10) || 'After ' || doc_id || chr(10) || chr(10)"
     )
     return (
         f"SELECT doc_id, {md} AS md, {plain} AS text "

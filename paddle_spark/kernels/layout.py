@@ -248,6 +248,22 @@ def extract_layout(
         for blk in blocks:
             if markdown and blk["label"] == "title":
                 parts.append(f"## {blk['text']}\n\n")
+            elif markdown and blk["label"] == "image" and blk.get("bbox"):
+                # Image blocks render as markdown image references under
+                # the reference's bbox filename convention
+                # (img_in_image_box_<x1>_<y1>_<x2>_<y2>.jpg, X2 —
+                # bbox_text_matcher.py:13; banker's-rounded coords, X3),
+                # which is exactly the path the client's save-and-rewrite
+                # loop keys on (testScript.py:163-176). The crop itself is
+                # exported by operators/export.py when asked; any caption
+                # text the detector attached follows as the line below.
+                from paddle_spark.kernels.geometry import bbox_key
+
+                parts.append(
+                    f"![](imgs/img_in_image_box_{bbox_key(blk['bbox'])}.jpg)\n"
+                )
+                if blk["text"]:
+                    parts.append(f"{blk['text']}\n")
             else:
                 parts.append(f"{blk['text']}\n")
             n_kept += 1

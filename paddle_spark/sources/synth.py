@@ -272,6 +272,10 @@ def make_table_pdf(i: int) -> bytes:
             _box(0, "title", 100, 100, 900, 170, 0.95, f"Table doc {i}"),
             table,
             _box(2, "text", 100, 600, 900, 700, 0.9, f"After {i}"),
+            # image block: markdown renders the reference's bbox filename
+            # convention (![](imgs/img_in_image_box_x1_y1_x2_y2.jpg));
+            # plain mode contributes its (empty) text line
+            _box(3, "image", 100, 800, 500, 1100, 0.9, ""),
         ]},
     ]
     body = json.dumps({"pages": pages}, sort_keys=True).encode("utf-8")
