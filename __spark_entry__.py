@@ -2377,6 +2377,40 @@ def _tables_oracle() -> str:
     )
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING with an EXACT oracle — the stage after pair
+    generation that every dedup pipeline needs (A~B and B~C must also
+    collapse A with C): iterative min-label propagation connected
+    components (operators/dedup.cluster_pairs) over planted CHAIN pairs
+    — cluster c = ids 4c..4c+3, but only members with position <= c%4
+    are chained by consecutive-id edges, so components have diameter up
+    to 3 (transitive closure is load-bearing, direct pairs alone would
+    under-merge) and every fourth cluster is all singletons. cluster_id
+    = smallest member, is_canonical marks the kept row; both closed-form
+    in doc_id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+    c = (F.col("doc_id") / 4).cast("long")
+    p = F.col("doc_id") % 4
+    pairs = docs.filter((p >= 1) & (p <= c % 4)).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    from paddle_spark.operators.dedup import dedup_transitive
+
+    return dedup_transitive(docs, pairs)
+
+
+_DEDUP_CLUSTER_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 <= (doc_id // 4) % 4
+       THEN 4 * (doc_id // 4) ELSE doc_id END AS cluster_id,
+  doc_id = CASE WHEN doc_id % 4 <= (doc_id // 4) % 4
+                THEN 4 * (doc_id // 4) ELSE doc_id END AS is_canonical
+FROM documents WHERE doc_id < 120
+"""
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV/PCM decode with an EXACT oracle (kernels/riffav.py +
     operators/multimodal.audio_stats): square-wave fixtures at dyadic
@@ -2658,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_orientation": q_extract_orientation,  # NEW: 0/90/180/270 classify + OCR
         "extract_tables": q_extract_tables,        # NEW: cell grid -> markdown table
         "mm_audio_video": q_mm_audio_video,        # NEW: WAV stats + AVI frame sample
+        "dedup_cluster": q_dedup_cluster,          # NEW: pairs -> components -> canonical
         # --- NEW NAMES last round (r4) ---
         "extract_scanned": q_extract_scanned,      # pixels -> boxes -> text
         "extract_scanned_pdf": q_extract_scanned_pdf,  # NEW: scanned PDF fallback
@@ -2720,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
         "extract_tables": _tables_oracle(),
+        "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "mm_audio_video": _suite_oracle([
             ("audio_stats", _AUDIO_STATS_ORACLE),
             ("video_frames", _VIDEO_FRAMES_ORACLE),

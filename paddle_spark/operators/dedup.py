@@ -361,3 +361,94 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical docs
+# ---------------------------------------------------------------------------
+
+def cluster_pairs(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph: connected
+    components by iterative min-label propagation, returning
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the smallest doc id
+    in the component — the canonical representative every dedup pipeline
+    keys on (pairs alone under-dedup: A~B and B~C does NOT emit A~C).
+
+    Plan shape per round: labels ⋈ edges (one shuffle on id) ->
+    min-aggregate (map-side partial) -> convergence check (a single
+    COUNT row to the driver — bounded). Rounds needed = component
+    DIAMETER, and LSH near-dup components are band-clique-ish (tiny
+    diameter), so 3-5 rounds cover real corpora; ``max_rounds`` caps
+    adversarial chains. Each round re-derives labels from the previous
+    frame only (no growing lineage: localCheckpoint every round breaks
+    the plan chain so round N's DAG is O(1), not O(N) — the standard
+    iterative-algorithm hygiene on Spark, same as ivf_train).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Full-corpus cluster assignment + canonical flag: every doc gets
+    its ``cluster_id`` (itself when it appears in no near-dup pair) and
+    ``is_canonical`` (true for the one smallest-id doc per cluster —
+    the row a dedup pipeline KEEPS). One broadcast-or-shuffle left join
+    of the corpus against the (far smaller) clustered-pairs frame."""
+    labels = cluster_pairs(pairs, a_col, b_col, max_rounds)
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    ).withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
+    )

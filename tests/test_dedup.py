@@ -95,3 +95,55 @@ def test_embedding_near_dups_all_jvm(embeddings):
     """No Python UDF in the near-dup plan (stays codegen'd)."""
     plan = D.embedding_near_dups(embeddings.limit(10))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestClustering:
+    """cluster_pairs / dedup_transitive: transitive closure of near-dup
+    pairs (min-label-propagation connected components) + canonical flag."""
+
+    def test_chain_needs_transitivity(self, spark):
+        from paddle_spark.operators.dedup import cluster_pairs
+
+        # 0-1-2-3 chain + 10-11 pair + isolated-by-absence 20
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+    def test_edge_order_and_direction_irrelevant(self, spark):
+        from paddle_spark.operators.dedup import cluster_pairs
+
+        # same component expressed with reversed/asymmetric edges
+        pairs = spark.createDataFrame(
+            [(5, 4), (3, 4), (6, 5), (3, 6)], "id_a long, id_b long"
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+        assert got == {3: 3, 4: 3, 5: 3, 6: 3}
+
+    def test_dedup_transitive_canonicals(self, spark):
+        from paddle_spark.operators.dedup import dedup_transitive
+
+        docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+        out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in dedup_transitive(docs, pairs).collect()}
+        assert out[1] == (1, True) and out[2] == (1, False) and out[5] == (1, False)
+        # untouched docs are their own canonical singletons
+        for d in (0, 3, 4, 6, 7):
+            assert out[d] == (d, True)
+        kept = sorted(d for d, (_, canon) in out.items() if canon)
+        assert kept == [0, 1, 3, 4, 6, 7]
+
+    def test_round_cap_and_long_chain(self, spark):
+        from paddle_spark.operators.dedup import cluster_pairs
+
+        n = 12  # diameter 11 — several propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+        assert got == {i: 0 for i in range(n + 1)}
+        # capped rounds still return a frame (partially converged)
+        part = cluster_pairs(pairs, max_rounds=1).collect()
+        assert len(part) == n + 1
