@@ -165,3 +165,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_av_operators_are_map_only(spark):
+    """audio_stats / video_frames plans contain NO Exchange: pure
+    map-side mapInPandas over the source — embarrassingly parallel at
+    any corpus size (the round-5 a/v surface keeps the scanned-branch
+    plan shape)."""
+    import numpy as np
+
+    from paddle_spark.operators.multimodal import audio_stats, video_frames
+    from paddle_spark.sources.synth import make_avi_mjpeg, make_jpeg, make_wav
+
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(make_wav(np.zeros(32), 8000, 16))),
+            (1, bytearray(make_avi_mjpeg(
+                [make_jpeg(np.full((8, 8), 9, np.uint8))], 8, 8))),
+        ],
+        "media_id long, payload binary",
+    )
+    for df in (audio_stats(media), video_frames(media)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_cluster_pairs_round_plan_no_cartesian(spark):
+    """One label-propagation round joins labels to edges on an equi-key:
+    the plan must be a hash/sort-merge join with a partial (map-side)
+    min aggregate — never BroadcastNestedLoop/Cartesian."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = edges.select(F.col("id_a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    one_round = (
+        edges.join(labels, edges.id_b == labels.doc_id)
+        .groupBy("id_a")
+        .agg(F.min("cluster_id").alias("m"))
+    )
+    plan = plan_of(one_round)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
