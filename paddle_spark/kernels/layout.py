@@ -248,6 +248,12 @@ def extract_layout(
         for blk in blocks:
             if markdown and blk["label"] == "title":
                 parts.append(f"## {blk['text']}\n\n")
+            elif markdown and blk["label"] == "formula" and blk["text"]:
+                # Formula blocks carry the recognition output (the
+                # reference's PP-FormulaNet LaTeX, pipeline_config.yaml
+                # use_formula_recognition); markdown wraps them as
+                # display math the way PP-StructureV3's markdown does.
+                parts.append(f"$${blk['text']}$$\n\n")
             elif markdown and blk["label"] == "image" and blk.get("bbox"):
                 # Image blocks render as markdown image references under
                 # the reference's bbox filename convention

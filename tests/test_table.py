@@ -72,8 +72,34 @@ def test_extract_layout_table_block_both_modes():
     from paddle_spark.sources.synth import make_table_pdf
 
     md, kept, dropped = extract_layout(make_table_pdf(3), markdown=True)
-    assert kept == 3 and dropped == 0
+    assert kept == 4 and dropped == 0  # title + table + text + image
     assert "## Table doc 3\n\n" in md
     assert "| C00 21 | C01 26 | C02 31 |\n| --- | --- | --- |\n" in md
     txt, _, _ = extract_layout(make_table_pdf(3))
     assert "C00 21\tC01 26\tC02 31\n" in txt and "|" not in txt
+    assert "![](imgs/img_in_image_box_100_800_500_1100.jpg)\n" in md
+
+
+def test_markdown_formula_and_image_renderings():
+    """Markdown block renderings beyond title/table: formula blocks wrap
+    as display math; image blocks emit the reference bbox filename
+    convention; plain mode leaves both as raw text lines."""
+    import json
+
+    from paddle_spark.kernels.layout import extract_layout
+
+    pages = [{"page_no": 0, "width": 1700, "height": 2200, "boxes": [
+        {"box_id": 0, "label": "formula", "label_id": 6,
+         "x1": 100.0, "y1": 100.0, "x2": 500.0, "y2": 160.0,
+         "score": 0.9, "text": "E = mc^2"},
+        {"box_id": 1, "label": "image", "label_id": 2,
+         "x1": 100.0, "y1": 300.0, "x2": 400.0, "y2": 500.0,
+         "score": 0.9, "text": ""},
+    ]}]
+    p = (b"%PDF-1.4\n%paddle-spark-synthetic\n"
+         + json.dumps({"pages": pages}).encode())
+    md = extract_layout(p, markdown=True)[0]
+    assert "$$E = mc^2$$\n\n" in md
+    assert "![](imgs/img_in_image_box_100_300_400_500.jpg)\n" in md
+    txt = extract_layout(p)[0]
+    assert "E = mc^2\n" in txt and "$$" not in txt and "![](" not in txt
