@@ -83,6 +83,11 @@ _STR_ESCAPES = {
 
 def _decode_pdf_string(raw: bytes) -> str:
     """Decode a (...) string body (backslash escapes, octal) as latin-1."""
+    if b"\\" not in raw:
+        # fast path: the overwhelmingly common escape-free string is a
+        # straight latin-1 decode (the loop below reduces to exactly
+        # this when no backslash is present)
+        return raw.decode("latin-1")
     out: list[str] = []
     i, n = 0, len(raw)
     while i < n:
