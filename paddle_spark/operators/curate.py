@@ -1,7 +1,9 @@
 """End-to-end corpus curation: the training-data pipeline composed.
 
 pages → extract (HTML/layout branches) → language gate → quality gate →
-exact dedup → MinHash-LSH near-dedup → curated corpus + funnel metrics.
+exact dedup → MinHash-LSH near-dedup (greedy pair-drop, or transitive
+connected-components canonicals with ``transitive_near_dedup=True``) →
+curated corpus + funnel metrics.
 
 Each stage is one of the engine's tested operators; this module only
 composes plans (no new semantics). At 10^12 docs the funnel is the
@@ -36,6 +38,7 @@ def curate(
     n_partitions: int | None = None,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    transitive_near_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (curated DataFrame, funnel counts).
 
@@ -89,7 +92,20 @@ def curate(
     pairs = minhash_dedup_candidates(
         exact, id_col="url", text_col="text", num_perm=num_perm, bands=bands
     )
-    curated = drop_near_dup_candidates(exact, pairs, id_col="url")
+    if transitive_near_dedup:
+        # chain-correct variant: connected components over the pair graph,
+        # keep the (lexicographically) smallest url per cluster — A~B~C
+        # collapses to one doc even when the A~C pair was never emitted
+        # (operators/dedup.cluster_pairs; rounds = component diameter)
+        from paddle_spark.operators.dedup import dedup_transitive
+
+        keep = dedup_transitive(
+            exact, pairs, id_col="url", a_col="a", b_col="b"
+        ).filter(F.col("is_canonical")).select(F.col("doc_id").alias("url"))
+        curated = exact.join(keep, "url", "left_semi")
+    else:
+        # the standard one-join web-dedup compromise (greedy pair drop)
+        curated = drop_near_dup_candidates(exact, pairs, id_col="url")
     counts["after_near_dedup"] = curated.count()
 
     extracted.unpersist()

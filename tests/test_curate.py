@@ -78,3 +78,37 @@ def test_repetition_gate(spark, tiny_pages):
     assert "after_repetition" in c1 and "after_repetition" not in c0
     assert c1["after_repetition"] <= c1["after_quality"]
     assert gated.count() <= base.count()
+
+
+def test_transitive_near_dedup_collapses_chains(spark):
+    """transitive_near_dedup=True keeps exactly one doc per near-dup
+    COMPONENT: planted A~B~C chains (B shares shingles with both A and C,
+    which share none with each other) collapse to one canonical, where
+    greedy pair-drop would also work here but the component semantics
+    are pinned via the cluster operator directly."""
+    from paddle_spark.operators.dedup import (
+        dedup_transitive,
+        minhash_dedup_candidates,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    base_c = "omicron pi rho sigma tau upsilon phi chi " * 6
+    rows = [
+        ("u/a", base_a),
+        ("u/b", base_a[: len(base_a) // 2] + " " + base_c[: len(base_c) // 2]),
+        ("u/c", base_c),
+        ("u/solo", "completely different text with its own words " * 6),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    pairs = minhash_dedup_candidates(df, id_col="url", num_perm=64, bands=32)
+    got_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    # the fixture is only valid if LSH found the two chain links and NOT a~c
+    assert ("u/a", "u/b") in got_pairs and ("u/b", "u/c") in got_pairs
+    assert ("u/a", "u/c") not in got_pairs
+    out = dedup_transitive(df, pairs, id_col="url", a_col="a", b_col="b")
+    rows_out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+                for r in out.collect()}
+    assert rows_out["u/a"] == ("u/a", True)
+    assert rows_out["u/b"] == ("u/a", False)
+    assert rows_out["u/c"] == ("u/a", False)   # transitive: c joins via b
+    assert rows_out["u/solo"] == ("u/solo", True)
