@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--n-partitions", type=int, default=None)
+    ap.add_argument("--transitive-near-dedup", action="store_true",
+                    help="connected-components canonical keep instead of "
+                         "greedy pair drop (chain-correct near-dedup)")
     args = ap.parse_args(argv)
     if not args.gen and not args.input:
         ap.error("one of --input / --gen is required")
@@ -59,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         n_partitions=args.n_partitions,
+        transitive_near_dedup=args.transitive_near_dedup,
     )
     curated.write.mode("overwrite").parquet(args.output)
     counts["written"] = spark.read.parquet(args.output).count()
