@@ -47,8 +47,8 @@ def decode_wav(p: bytes | None) -> dict | None:
 
     Returns ``{"sample_rate", "channels", "bits", "n_samples",
     "samples"}`` where ``samples`` is (n_frames, channels) float64 in
-    [-1, 1) — 16-bit as v/32768, 8-bit as (v-128)/128 — or None for
-    non-WAV / non-PCM / malformed payloads.
+    [-1, 1) — 8-bit unsigned as (v-128)/128, 16/24/32-bit signed LE as
+    v / 2^(bits-1) — or None for non-WAV / non-PCM / malformed payloads.
     """
     if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
@@ -62,7 +62,7 @@ def decode_wav(p: bytes | None) -> dict | None:
     if fmt is None or data is None:
         return None
     audio_format, channels, rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or channels == 0 or rate == 0 or bits not in (8, 16):
+    if audio_format != 1 or channels == 0 or rate == 0 or bits not in (8, 16, 24, 32):
         return None
     bytes_per_frame = channels * bits // 8
     n_frames = len(data) // bytes_per_frame
@@ -71,6 +71,14 @@ def decode_wav(p: bytes | None) -> dict | None:
     data = data[: n_frames * bytes_per_frame]
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        # sign-extend packed 3-byte little-endian into int32
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        raw = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        raw = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
     else:
         raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     return {

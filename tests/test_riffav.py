@@ -135,3 +135,54 @@ def test_extract_document_media_kinds():
     assert not r3.parse_ok and r3.branch == "audio"
     r4 = extract_document(b"RIFF\x00\x00\x00\x00ACONanih")
     assert not r4.parse_ok and r4.branch == "none"
+
+
+class TestWildWavs:
+    def test_system_wavs_match_stdlib_wave(self):
+        """Wild-file cross-validation against an INDEPENDENT third-party
+        reader (CPython's stdlib wave module — the same pattern as the
+        libwebp VP8L parity tests): for every system .wav, our decoder
+        must agree on channels/rate/frame-count and be sample-exact under
+        the identical normalization. Skips quietly on systems without a
+        wav corpus."""
+        import glob
+        import wave
+
+        files = sorted(
+            glob.glob("/root/.pyenv/versions/**/*.wav", recursive=True)
+            + glob.glob("/usr/share/**/*.wav", recursive=True)
+        )
+        if not files:
+            pytest.skip("no wild wav corpus")
+        checked = 0
+        for f in files:
+            p = open(f, "rb").read()
+            try:
+                w = wave.open(f)
+                ch, sw, rate, nf = (
+                    w.getnchannels(), w.getsampwidth(),
+                    w.getframerate(), w.getnframes(),
+                )
+                frames = w.readframes(nf)
+            except Exception:
+                continue  # non-PCM or stdlib-unreadable: out of scope
+            got = decode_wav(p)
+            assert got is not None, f
+            assert (got["channels"], got["sample_rate"]) == (ch, rate), f
+            assert got["n_samples"] == nf, f
+            assert got["bits"] == sw * 8, f
+            # sample-exactness under identical normalization
+            if sw == 1:
+                exp = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+            elif sw == 2:
+                exp = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+            elif sw == 3:
+                b3 = np.frombuffer(frames, np.uint8).reshape(-1, 3).astype(np.int64)
+                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                v = np.where(v & 0x800000, v - (1 << 24), v)
+                exp = v.astype(np.float64) / float(1 << 23)
+            else:
+                exp = np.frombuffer(frames, "<i4").astype(np.float64) / float(1 << 31)
+            assert np.array_equal(got["samples"].reshape(-1), exp), f
+            checked += 1
+        assert checked >= 3, checked  # the corpus has pcm8/16/24/32 variants
