@@ -138,3 +138,40 @@ def test_ocr_page_arbitrary_ink_never_raises(seed):
     img = rng.randint(0, 256, (h, w), dtype=np.uint8)
     r = ocr_page(img)
     assert r.text is not None
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048), st.sampled_from([b"WAVE", b"AVI ", b"WEBP", b"ACON"]))
+def test_riff_soup_never_raises(tail, form):
+    """RIFF-prefixed byte soup through the full extract entry and the a/v
+    kernels: never an exception, always deterministic (the round-5 RIFF
+    classify split + riffav walkers at the T5 boundary)."""
+    from paddle_spark.kernels.riffav import audio_features, avi_frames, avi_meta
+
+    payload = b"RIFF" + len(tail).to_bytes(4, "little") + form + tail
+    a = extract_document(payload)
+    b = extract_document(payload)
+    assert (a.parse_ok, a.branch, a.error) == (b.parse_ok, b.branch, b.error)
+    audio_features(payload)      # any return, no raise
+    avi_meta(payload)
+    assert isinstance(avi_frames(payload), list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1024))
+def test_table_cells_soup_never_raises(noise):
+    """Malformed 'cells' payloads through the table-assembly path: the
+    layout chain isolates them per document (extract_document contract),
+    and well-formed-but-weird cell geometry never raises."""
+    import json
+
+    from paddle_spark.kernels.table import render_table
+
+    rng_vals = list(noise[:40])
+    cells = [
+        {"x1": float(v), "y1": float(rng_vals[(i + 1) % max(1, len(rng_vals))] if rng_vals else 0),
+         "x2": float(v) + 1.0 + (v % 7), "y2": 2.0 + float(v % 11), "text": chr(65 + v % 26) * (v % 5)}
+        for i, v in enumerate(rng_vals)
+    ]
+    out = render_table(cells, markdown=bool(noise and noise[0] % 2))
+    assert isinstance(out, str)
