@@ -2459,17 +2459,21 @@ FROM documents WHERE doc_id < 100
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame sampling with an EXACT oracle: AVI containers
-    (spec-twin make_avi_mjpeg) holding 2 + i%4 solid-gray MJPEG frames —
-    each frame a complete baseline JPEG whose flat-quant DC path decodes
-    the planted gray losslessly (same property the mm_pixel_stats JPEG
-    arm uses) — walked by kernels/riffav.avi_frames and decoded through
-    the SAME pixel codec as images (kernels/jpeg.py)."""
+    """REAL video frame sampling with an EXACT oracle over BOTH AVI
+    arms: even ids are MJPEG containers (spec-twin make_avi_mjpeg; each
+    frame a complete baseline JPEG whose flat-quant DC path decodes the
+    planted gray losslessly — same property the mm_pixel_stats JPEG arm
+    uses — decoded through the SAME pixel codec as images,
+    kernels/jpeg.py) and odd ids are UNCOMPRESSED BI_RGB containers
+    (make_avi_raw; bottom-up padded DIB rows,
+    kernels/riffav.decode_dib_frame). The planted solid gray makes the
+    expected means identical for both, so one oracle covers the two
+    decode paths."""
     import numpy as np
     import pandas as pd
 
     from paddle_spark.operators.multimodal import video_frames
-    from paddle_spark.sources.synth import make_avi_mjpeg, make_jpeg
+    from paddle_spark.sources.synth import make_avi_mjpeg, make_avi_raw, make_jpeg
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 100
@@ -2481,11 +2485,16 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in ids:
                 w, h = 16 + 8 * (i % 5), 16 + 8 * (i % 3)
-                frames = [
-                    make_jpeg(np.full((h, w), (i * 37 + f * 11) % 250, np.uint8))
-                    for f in range(2 + i % 4)
-                ]
-                payloads.append(make_avi_mjpeg(frames, w, h))
+                grays = [(i * 37 + f * 11) % 250 for f in range(2 + i % 4)]
+                if i % 2 == 0:
+                    payloads.append(make_avi_mjpeg(
+                        [make_jpeg(np.full((h, w), g, np.uint8)) for g in grays],
+                        w, h,
+                    ))
+                else:
+                    payloads.append(make_avi_raw(
+                        [np.full((h, w, 3), g, np.uint8) for g in grays]
+                    ))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(to_avi, schema="media_id long, payload binary")

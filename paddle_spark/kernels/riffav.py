@@ -131,6 +131,55 @@ def avi_meta(p: bytes | None) -> dict | None:
     return None
 
 
+def avi_video_format(p: bytes | None) -> dict | None:
+    """The first 'vids' stream's strf BITMAPINFOHEADER:
+    ``{"width", "height", "bpp", "compression"}`` (compression 0 =
+    BI_RGB raw DIB frames; b'MJPG' = motion JPEG). None when the AVI
+    carries no parseable video stream header."""
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    for tag, off, size in _riff_chunks(p, 12, len(p)):
+        if tag == b"LIST" and p[off : off + 4] == b"hdrl":
+            for t2, o2, s2 in _riff_chunks(p, off + 4, off + size):
+                if t2 == b"LIST" and p[o2 : o2 + 4] == b"strl":
+                    is_vids = False
+                    for t3, o3, s3 in _riff_chunks(p, o2 + 4, o2 + s2):
+                        if t3 == b"strh" and s3 >= 8:
+                            is_vids = p[o3 : o3 + 4] == b"vids"
+                        elif t3 == b"strf" and s3 >= 20 and is_vids:
+                            _sz, w, h, _planes, bpp = struct.unpack(
+                                "<IiiHH", p[o3 : o3 + 16]
+                            )
+                            comp = p[o3 + 16 : o3 + 20]
+                            return {
+                                "width": int(w),
+                                "height": int(h),
+                                "bpp": int(bpp),
+                                "compression": (
+                                    0 if comp == b"\x00\x00\x00\x00" else comp
+                                ),
+                            }
+    return None
+
+
+def decode_dib_frame(
+    data: bytes, width: int, height: int, bpp: int = 24
+) -> np.ndarray | None:
+    """One uncompressed BI_RGB frame ('00db' chunk payload) -> (H, W, 3)
+    RGB: bottom-up rows, BGR byte order, stride padded to 4 bytes —
+    the same layout the BMP decoder handles, minus the file header."""
+    if bpp != 24 or width <= 0 or height <= 0 or width * height > MAX_SAMPLES:
+        return None
+    stride = (width * 3 + 3) & ~3
+    if len(data) < stride * height:
+        return None
+    rows = np.frombuffer(data[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )
+    bgr = rows[::-1, : width * 3].reshape(height, width, 3)
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
 def avi_frames(p: bytes | None) -> list[bytes]:
     """All frame payloads ('##db' raw / '##dc' compressed chunks of the
     LIST movi), in stream order. MJPEG frames are complete JPEGs."""

@@ -555,9 +555,15 @@ def video_frames(
     image path uses (MJPEG frames are complete JPEGs ->
     kernels/jpeg.py under codec='python'), report dims + channel means.
     ``codec`` resolves at plan construction; same cap semantics and
-    per-item isolation as frame_sample."""
+    per-item isolation as frame_sample. Frame payloads sniff their own
+    codec: JPEG SOI -> the pixel codec switch (MJPEG), else BI_RGB raw
+    DIB frames decode directly (uncompressed AVI)."""
     from paddle_spark.kernels.pixels import decoder_for, to_3ch
-    from paddle_spark.kernels.riffav import avi_frames
+    from paddle_spark.kernels.riffav import (
+        avi_frames,
+        avi_video_format,
+        decode_dib_frame,
+    )
 
     decode = decoder_for(codec)  # validates / gates at plan construction
     src = media.select(
@@ -572,8 +578,18 @@ def video_frames(
                 try:
                     p = bytes(payload) if payload is not None else None
                     frames = avi_frames(p)
+                    vf = avi_video_format(p) if frames else None
+                    raw_ok = vf is not None and vf["compression"] == 0
                     for fno in list(range(0, len(frames), every_k))[:max_frames]:
-                        img = decode(frames[fno])
+                        fb = frames[fno]
+                        if fb[:3] == b"\xff\xd8\xff":
+                            img = decode(fb)
+                        elif raw_ok:
+                            img = decode_dib_frame(
+                                fb, vf["width"], vf["height"], vf["bpp"]
+                            )
+                        else:
+                            img = decode(fb)
                         if img is None:
                             continue
                         h, w = img.shape[:2]

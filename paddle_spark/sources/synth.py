@@ -1052,12 +1052,34 @@ def make_wav(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_avi_raw(frames, fps: int = 25) -> bytes:
+    """A valid minimal UNCOMPRESSED AVI (BI_RGB) from (H, W, 3) uint8
+    RGB arrays: '00db' chunks of bottom-up padded BGR DIB rows, strf
+    biCompression = 0 — the spec twin for kernels/riffav's raw-DIB arm."""
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = fr[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for f in fr:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        dibs.append(rows.tobytes())
+    return _make_avi(dibs, w, h, fps, handler=b"DIB ", compression=b"\x00" * 4,
+                     chunk_id=b"00db")
+
+
 def make_avi_mjpeg(frames: list[bytes], width: int, height: int,
                    fps: int = 25) -> bytes:
     """A valid minimal AVI container wrapping pre-encoded MJPEG frames
     (each a complete JPEG): LIST hdrl (avih + one 'vids'/'MJPG' stream)
     + LIST movi of '00dc' chunks — the spec twin for
     kernels/riffav.avi_meta / avi_frames."""
+    return _make_avi(frames, width, height, fps, handler=b"MJPG",
+                     compression=b"MJPG", chunk_id=b"00dc")
+
+
+def _make_avi(frames: list[bytes], width: int, height: int, fps: int,
+              handler: bytes, compression: bytes, chunk_id: bytes) -> bytes:
     def chunk(tag: bytes, data: bytes) -> bytes:
         return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
 
@@ -1070,16 +1092,16 @@ def make_avi_mjpeg(frames: list[bytes], width: int, height: int,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
         0, 0, width, height,
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, compression,
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

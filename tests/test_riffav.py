@@ -186,3 +186,38 @@ class TestWildWavs:
             assert np.array_equal(got["samples"].reshape(-1), exp), f
             checked += 1
         assert checked >= 3, checked  # the corpus has pcm8/16/24/32 variants
+
+
+class TestRawAvi:
+    def test_raw_dib_frames_roundtrip_exact(self):
+        from paddle_spark.kernels.riffav import (
+            avi_video_format,
+            decode_dib_frame,
+        )
+        from paddle_spark.sources.synth import make_avi_raw
+
+        rng = np.random.RandomState(8)
+        fr = [rng.randint(0, 256, (9, 13, 3), dtype=np.uint8) for _ in range(3)]
+        p = make_avi_raw(fr)  # w=13 -> stride 40 exercises row padding
+        vf = avi_video_format(p)
+        assert vf == {"width": 13, "height": 9, "bpp": 24, "compression": 0}
+        for f_in, fb in zip(fr, avi_frames(p)):
+            assert np.array_equal(decode_dib_frame(fb, 13, 9), f_in)
+        assert decode_dib_frame(b"short", 13, 9) is None
+
+    def test_video_frames_operator_sniffs_both_arms(self, spark):
+        from paddle_spark.operators.multimodal import video_frames
+        from paddle_spark.sources.synth import make_avi_raw
+
+        raw = make_avi_raw([np.full((6, 6, 3), (50, 100, 150), np.uint8)])
+        mjpg = make_avi_mjpeg(
+            [make_jpeg(np.full((6, 6), 80, np.uint8))], 6, 6
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(raw)), (2, bytearray(mjpg))],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: (r["mean_r"], r["mean_g"], r["mean_b"])
+               for r in video_frames(df).collect()}
+        assert got[1] == (50.0, 100.0, 150.0)
+        assert got[2] == (80.0, 80.0, 80.0)
