@@ -12,10 +12,12 @@ pipeline over Common-Crawl-style page tables:
   pages (standalone images or image-XObject PDF pages) run a deterministic
   detector + template-OCR chain end-to-end from pixels (kernels.scan).
 - Multimodal: pure-Python pixel decode for PNG/APNG/BMP/GIF (composited)/
-  JPEG (baseline+progressive)/TIFF (multi-page)/WEBP-lossless, visual
+  JPEG (baseline+progressive)/TIFF (multi-page)/WEBP-lossless (lossy VP8
+  via a system-libwebp ctypes arm), WAV/PCM audio stats, AVI video frame
+  sampling (MJPEG through the same JPEG kernel, BI_RGB raw DIB), visual
   features (dhash + histogram embeddings), banded visual near-dup, frame
-  sampling — all map-only mapInPandas plans behind an explicit
-  pixel-codec gate.
+  sampling, orientation classify and table-grid markdown — all map-only
+  mapInPandas plans behind an explicit pixel-codec gate.
 - Both branches run inside ``mapInPandas`` over Arrow batches — never
   per-row Python at the DataFrame level.
 
