@@ -42,6 +42,13 @@ def payload_kind_col(html: Column) -> Column:
         .when(is_riff & (riff_form == F.lit(b"WAVE")), F.lit("audio"))
         .when(is_riff & (riff_form == F.lit(b"AVI ")), F.lit("video"))
         .when(is_riff, F.lit("garbage"))
+        .when(F.substring(html, 1, 4) == F.lit(b".snd"), F.lit("audio"))
+        .when(
+            (F.substring(html, 1, 4) == F.lit(b"FORM"))
+            & riff_form.isin([F.lit(b"AIFF"), F.lit(b"AIFC")]),
+            F.lit("audio"),
+        )
+        .when(F.substring(html, 1, 4) == F.lit(b"FORM"), F.lit("garbage"))
         .when(is_html, F.lit("html"))
         .otherwise(F.lit("garbage"))
     )

@@ -41,7 +41,8 @@ KIND_GARBAGE = "garbage"
 def classify_payload(payload: bytes | None) -> str:
     """Classify raw page bytes into html / pdf / image / audio / video /
     garbage. RIFF payloads split by form type (WEBP -> image, WAVE ->
-    audio, AVI -> video; unknown RIFF forms -> garbage)."""
+    audio, AVI -> video; unknown RIFF forms -> garbage); Sun AU (.snd)
+    and IFF AIFF/AIFC classify audio."""
     if not payload:
         return KIND_GARBAGE
     if payload[:4] == PDF_MAGIC:
@@ -51,6 +52,10 @@ def classify_payload(payload: bytes | None) -> str:
             return KIND_IMAGE
     if payload[:4] == b"RIFF":
         return RIFF_FORMS.get(payload[8:12], KIND_GARBAGE)
+    if payload[:4] == b".snd":
+        return KIND_AUDIO
+    if payload[:4] == b"FORM":  # generic IFF: only the audio forms are ours
+        return KIND_AUDIO if payload[8:12] in (b"AIFF", b"AIFC") else KIND_GARBAGE
     head = payload[:256].lstrip()
     if head[:1] == b"<":
         return KIND_HTML

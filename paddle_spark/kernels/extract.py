@@ -105,9 +105,9 @@ def extract_document(
             # crawls do carry a/v bytes and they are not parse failures.
             # Feature extraction lives in the dedicated operators
             # (multimodal.audio_stats / video_frames), off the text path.
-            from paddle_spark.kernels.riffav import avi_meta, decode_wav
+            from paddle_spark.kernels.riffav import avi_meta, decode_audio
 
-            meta = decode_wav(payload) if kind == KIND_AUDIO else avi_meta(payload)
+            meta = decode_audio(payload) if kind == KIND_AUDIO else avi_meta(payload)
             if meta is not None:
                 return ExtractResult("", sha256_text(""), 0, 0, True, kind, "")
             return ExtractResult(

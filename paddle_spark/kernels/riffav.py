@@ -62,14 +62,21 @@ def decode_wav(p: bytes | None) -> dict | None:
     if fmt is None or data is None:
         return None
     audio_format, channels, rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or channels == 0 or rate == 0 or bits not in (8, 16, 24, 32):
+    g711 = {7: ulaw_to_float, 6: alaw_to_float}.get(audio_format)
+    if g711 is not None:
+        bits = 8
+    elif audio_format != 1:
+        return None
+    if channels == 0 or rate == 0 or bits not in (8, 16, 24, 32):
         return None
     bytes_per_frame = channels * bits // 8
     n_frames = len(data) // bytes_per_frame
     if n_frames == 0 or n_frames * channels > MAX_SAMPLES:
         return None
     data = data[: n_frames * bytes_per_frame]
-    if bits == 16:
+    if g711 is not None:
+        raw = g711(np.frombuffer(data, dtype=np.uint8))
+    elif bits == 16:
         raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 24:
         # sign-extend packed 3-byte little-endian into int32
@@ -90,12 +97,163 @@ def decode_wav(p: bytes | None) -> dict | None:
     }
 
 
+def _pcm_to_float(data: bytes, bits: int, signed: bool, big: bool) -> np.ndarray | None:
+    """Normalize integer PCM bytes to float64 in [-1, 1)."""
+    if bits == 8:
+        v = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        return (v - 128.0) / 128.0 if not signed else (
+            np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+        )
+    if bits == 16:
+        return np.frombuffer(data, dtype=">i2" if big else "<i2").astype(np.float64) / 32768.0
+    if bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        if big:
+            v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+        else:
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    if bits == 32:
+        return np.frombuffer(data, dtype=">i4" if big else "<i4").astype(np.float64) / float(1 << 31)
+    return None
+
+
+def ulaw_to_float(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion (the public algorithmic formula, validated
+    code-for-code against CPython's audioop.ulaw2lin): byte -> linear
+    16-bit -> float64 / 32768."""
+    u = (~b) & 0xFF
+    sign = u & 0x80
+    mant = (u & 0x0F).astype(np.int32)
+    x = (((mant << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return np.where(sign, -x, x).astype(np.float64) / 32768.0
+
+
+def alaw_to_float(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion (public formula, audioop.alaw2lin parity)."""
+    a = b ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    x = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, x, -x).astype(np.float64) / 32768.0
+
+
+def decode_au(p: bytes | None) -> dict | None:
+    """Sun AU (.snd): 24-byte big-endian header (magic, data offset,
+    data size, encoding, rate, channels) + samples. Linear PCM encodings
+    2/3/4/5 (8-bit SIGNED / 16 / 24 / 32-bit BE) and the G.711 codecs
+    (1 = mu-law, 27 = A-law) decode; float encodings return None."""
+    if not p or len(p) < 24 or p[:4] != b".snd":
+        return None
+    off, size, enc, rate, channels = struct.unpack(">IIIII", p[4:24])
+    g711 = {1: ulaw_to_float, 27: alaw_to_float}.get(enc)
+    bits = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 27: 8}.get(enc)
+    if bits is None or channels == 0 or rate == 0 or off < 24 or off > len(p):
+        return None
+    data = p[off:] if size in (0xFFFFFFFF, 0) else p[off : off + size]
+    bpf = channels * bits // 8
+    n_frames = len(data) // bpf
+    if n_frames == 0 or n_frames * channels > MAX_SAMPLES:
+        return None
+    data = data[: n_frames * bpf]
+    if g711 is not None:
+        raw = g711(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raw = _pcm_to_float(data, bits, signed=True, big=True)
+    return {
+        "sample_rate": int(rate), "channels": int(channels),
+        "bits": bits, "n_samples": int(n_frames),
+        "samples": raw.reshape(n_frames, channels),
+    }
+
+
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate), big-endian."""
+    if len(b) < 10:
+        return 0.0
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(p: bytes | None) -> dict | None:
+    """AIFF (FORM/AIFF big-endian IFF): COMM (channels, frames, bits,
+    80-bit-float rate) + SSND (offset/block header then PCM, signed BE
+    at every bit depth incl. 8-bit). AIFC compressed variants return
+    None (only 'NONE' AIFC passes)."""
+    if not p or len(p) < 12 or p[:4] != b"FORM" or p[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = p[8:12] == b"AIFC"
+    comm = ssnd = None
+    off = 12
+    n = len(p)
+    while off + 8 <= n:  # IFF chunks: big-endian sizes, even padding
+        tag = p[off : off + 4]
+        (size,) = struct.unpack(">I", p[off + 4 : off + 8])
+        body = p[off + 8 : off + 8 + size]
+        if tag == b"COMM":
+            comm = body
+        elif tag == b"SSND":
+            ssnd = body
+        off += 8 + size + (size & 1)
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        return None
+    channels, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _f80(comm[8:18])
+    comp = comm[18:22] if is_aifc and len(comm) >= 22 else b"NONE"
+    g711 = {b"ulaw": ulaw_to_float, b"ULAW": ulaw_to_float,
+            b"alaw": alaw_to_float, b"ALAW": alaw_to_float}.get(comp)
+    if comp not in (b"NONE", b"sowt") and g711 is None:
+        return None  # float/other compressed AIFC: out of scope
+    little = comp == b"sowt"
+    if g711 is not None:
+        bits = 8  # stored width; COMM says 16 for the decoded width
+    if channels == 0 or rate <= 0 or bits not in (8, 16, 24, 32):
+        return None
+    (data_off,) = struct.unpack(">I", ssnd[:4])
+    data = ssnd[8 + data_off :]
+    bpf = channels * bits // 8
+    nf = min(n_frames, len(data) // bpf)
+    if nf == 0 or nf * channels > MAX_SAMPLES:
+        return None
+    data = data[: nf * bpf]
+    if g711 is not None:
+        raw = g711(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raw = _pcm_to_float(data, bits, signed=True, big=not little)
+    return {
+        "sample_rate": int(round(rate)), "channels": int(channels),
+        "bits": int(bits), "n_samples": int(nf),
+        "samples": raw.reshape(nf, channels),
+    }
+
+
+def decode_audio(p: bytes | None) -> dict | None:
+    """Container dispatch: WAV (RIFF/WAVE), Sun AU (.snd), AIFF/AIFC."""
+    if not p or len(p) < 12:
+        return None
+    if p[:4] == b"RIFF":
+        return decode_wav(p)
+    if p[:4] == b".snd":
+        return decode_au(p)
+    if p[:4] == b"FORM":
+        return decode_aiff(p)
+    return None
+
+
 def audio_features(p: bytes | None) -> dict | None:
     """Deterministic audio features from decoded PCM: duration (ms,
     float), RMS and peak of the normalized signal across all channels —
     the audio analog of pixel_stats' channel means (the neural-embedding
-    swap point stays a swap point)."""
-    wav = decode_wav(p)
+    swap point stays a swap point). Dispatches WAV / AU / AIFF."""
+    wav = decode_audio(p)
     if wav is None:
         return None
     s = wav["samples"]

@@ -14,6 +14,10 @@ def test_magic_bytes():
     assert classify_payload(b"RIFF\x00\x00\x00\x00AVI LIST") == "video"
     assert classify_payload(b"RIFF\x00\x00\x00\x00ACONanih") == "garbage"
     assert classify_payload(b"RIFF\x00\x00") == "garbage"  # truncated form
+    assert classify_payload(b".sndxxxxxxxxxxxx") == "audio"
+    assert classify_payload(b"FORM\x00\x00\x00\x00AIFF") == "audio"
+    assert classify_payload(b"FORM\x00\x00\x00\x00AIFC") == "audio"
+    assert classify_payload(b"FORM\x00\x00\x00\x00ILBM") == "garbage"
     assert classify_payload(b"\x00\x01binary") == "garbage"
     assert classify_payload(b"") == "garbage"
     assert classify_payload(None) == "garbage"
@@ -34,6 +38,8 @@ def test_column_twin_parity(spark):
         b"RIFF\x00\x00\x00\x00WEBPVP8 ", b"RIFF\x00\x00\x00\x00WAVEfmt ",
         b"RIFF\x00\x00\x00\x00AVI LIST", b"RIFF\x00\x00\x00\x00ACONanih",
         b"RIFF\x00\x00",
+        b".sndxxxxxxxxxxxx", b"FORM\x00\x00\x00\x00AIFF",
+        b"FORM\x00\x00\x00\x00AIFC", b"FORM\x00\x00\x00\x00ILBM", b"FORM\x00",
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "i int, html binary"

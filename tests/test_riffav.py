@@ -221,3 +221,98 @@ class TestRawAvi:
                for r in video_frames(df).collect()}
         assert got[1] == (50.0, 100.0, 150.0)
         assert got[2] == (80.0, 80.0, 80.0)
+
+
+class TestAuAiff:
+    """Sun AU + AIFF/AIFC decode, cross-validated sample-exact against
+    the independent stdlib readers (sunau/aifc + audioop for G.711)."""
+
+    def _wild(self, ext):
+        import glob
+
+        return sorted(glob.glob(
+            f"/root/.pyenv/versions/**/*.{ext}", recursive=True))
+
+    def test_wild_au_and_aiff_match_stdlib(self):
+        import warnings
+
+        from paddle_spark.kernels.riffav import decode_audio
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+            import audioop
+            import sunau
+        files = self._wild("au") + self._wild("aiff") + self._wild("aifc")
+        if not files:
+            pytest.skip("no wild au/aiff corpus")
+        checked = 0
+        for f in files:
+            mod = sunau if f.endswith(".au") else aifc
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", DeprecationWarning)
+                    r = mod.open(f)
+                    ch, sw, rate, nf = (
+                        r.getnchannels(), r.getsampwidth(),
+                        r.getframerate(), r.getnframes(),
+                    )
+                    comp = r.getcomptype()
+                    frames = r.readframes(nf)
+            except Exception:
+                continue
+            comp = comp.encode() if isinstance(comp, str) else comp
+            got = decode_audio(open(f, "rb").read())
+            if comp in (b"alaw", b"ALAW", b"ulaw", b"ULAW"):
+                # stdlib sunau/aifc ALREADY expand G.711 to linear 16-bit
+                # (native byte order via audioop) — so this is a direct
+                # independent check of our ulaw/alaw tables
+                exp = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+                assert got is not None, f
+                assert (got["channels"], got["sample_rate"]) == (ch, rate), f
+                assert np.array_equal(got["samples"].reshape(-1), exp), f
+                checked += 1
+                continue
+            if comp not in (b"NONE", b"sowt"):
+                assert got is None, f  # out-of-scope codecs degrade
+                continue
+            assert got is not None, f
+            assert (got["channels"], got["sample_rate"], got["n_samples"]) == (ch, rate, nf), f
+            if sw == 1:
+                exp = np.frombuffer(frames, np.int8).astype(np.float64) / 128.0
+            elif sw == 2:
+                exp = np.frombuffer(frames, ">i2").astype(np.float64) / 32768.0
+            elif sw == 3:
+                b3 = np.frombuffer(frames, np.uint8).reshape(-1, 3).astype(np.int64)
+                v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+                v = np.where(v & 0x800000, v - (1 << 24), v)
+                exp = v.astype(np.float64) / float(1 << 23)
+            else:
+                exp = np.frombuffer(frames, ">i4").astype(np.float64) / float(1 << 31)
+            assert np.array_equal(got["samples"].reshape(-1), exp), f
+            checked += 1
+        assert checked >= 8, checked  # pcm8/16/24/32 x au/aiff + ulaw files
+
+    def test_g711_tables_match_audioop_bytewise(self):
+        import warnings
+
+        from paddle_spark.kernels.riffav import alaw_to_float, ulaw_to_float
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        b = np.arange(256, dtype=np.uint8)
+        for mine, ref_fn in ((ulaw_to_float, audioop.ulaw2lin),
+                             (alaw_to_float, audioop.alaw2lin)):
+            ref = np.frombuffer(ref_fn(b.tobytes(), 2), dtype="<i2")
+            assert np.array_equal(mine(b) * 32768.0, ref.astype(np.float64))
+
+    def test_malformed_degrades(self):
+        from paddle_spark.kernels.riffav import decode_aiff, decode_au, decode_audio
+
+        assert decode_au(b".snd" + b"\x00" * 10) is None
+        assert decode_aiff(b"FORM\x00\x00\x00\x00AIFF") is None
+        assert decode_audio(b"FORM\x00\x00\x00\x00ILBMBODY") is None
+        # float AU encoding (6) declines
+        hdr = b".snd" + (24).to_bytes(4, "big") + (8).to_bytes(4, "big") + (6).to_bytes(4, "big") + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        assert decode_au(hdr + b"\x00" * 8) is None
