@@ -31,8 +31,13 @@ def payload_kind_col(html: Column) -> Column:
     # HTML: first non-whitespace byte is '<' (checked on a decoded prefix).
     # ltrim strips only spaces; the kernel's bytes.lstrip() strips all ASCII
     # whitespace (\t \n \r \x0b \x0c), so trim with a regex for parity.
+    # Decode as ISO-8859-1, NOT UTF-8: latin-1 maps every byte 1:1 so the
+    # '<' check is unchanged, while UTF-8 decode RAISES under ANSI mode on
+    # arbitrary binary garbage (e.g. an 0xFF prefix) — a whole-job failure
+    # from one soup payload. Java's default \s is ASCII-only, matching
+    # bytes.lstrip() (neither strips \xa0).
     prefix = F.regexp_replace(
-        F.decode(F.substring(html, 1, 256), "UTF-8"), r"^[\s\x0b]+", ""
+        F.decode(F.substring(html, 1, 256), "ISO-8859-1"), r"^[\s\x0b]+", ""
     )
     is_html = F.substring(prefix, 1, 1) == F.lit("<")
     return (
@@ -43,6 +48,9 @@ def payload_kind_col(html: Column) -> Column:
         .when(is_riff & (riff_form == F.lit(b"AVI ")), F.lit("video"))
         .when(is_riff, F.lit("garbage"))
         .when(F.substring(html, 1, 4) == F.lit(b".snd"), F.lit("audio"))
+        .when(F.substring(html, 1, 3) == F.lit(b"ID3"), F.lit("audio"))
+        .when(F.substring(html, 1, 4) == F.lit(b"OggS"), F.lit("audio"))
+        .when(F.substring(html, 1, 4) == F.lit(b"fLaC"), F.lit("audio"))
         .when(
             (F.substring(html, 1, 4) == F.lit(b"FORM"))
             & riff_form.isin([F.lit(b"AIFF"), F.lit(b"AIFC")]),

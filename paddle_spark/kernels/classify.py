@@ -42,7 +42,10 @@ def classify_payload(payload: bytes | None) -> str:
     """Classify raw page bytes into html / pdf / image / audio / video /
     garbage. RIFF payloads split by form type (WEBP -> image, WAVE ->
     audio, AVI -> video; unknown RIFF forms -> garbage); Sun AU (.snd)
-    and IFF AIFF/AIFC classify audio."""
+    and IFF AIFF/AIFC classify audio, as do ID3-tagged MP3 / Ogg / FLAC
+    (header metadata via kernels/audiometa.py; bare-sync MP3s without an
+    ID3 tag stay garbage here — an 0xFFEx prefix alone is too weak a
+    magic for a classifier that must never misfile binary soup)."""
     if not payload:
         return KIND_GARBAGE
     if payload[:4] == PDF_MAGIC:
@@ -54,6 +57,8 @@ def classify_payload(payload: bytes | None) -> str:
         return RIFF_FORMS.get(payload[8:12], KIND_GARBAGE)
     if payload[:4] == b".snd":
         return KIND_AUDIO
+    if payload[:3] == b"ID3" or payload[:4] in (b"OggS", b"fLaC"):
+        return KIND_AUDIO  # compressed audio: ID3-tagged MP3 / Ogg / FLAC
     if payload[:4] == b"FORM":  # generic IFF: only the audio forms are ours
         return KIND_AUDIO if payload[8:12] in (b"AIFF", b"AIFC") else KIND_GARBAGE
     head = payload[:256].lstrip()

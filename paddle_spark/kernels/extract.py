@@ -105,9 +105,13 @@ def extract_document(
             # crawls do carry a/v bytes and they are not parse failures.
             # Feature extraction lives in the dedicated operators
             # (multimodal.audio_stats / video_frames), off the text path.
+            from paddle_spark.kernels.audiometa import audio_container_meta
             from paddle_spark.kernels.riffav import avi_meta, decode_audio
 
-            meta = decode_audio(payload) if kind == KIND_AUDIO else avi_meta(payload)
+            if kind == KIND_AUDIO:
+                meta = decode_audio(payload) or audio_container_meta(payload)
+            else:
+                meta = avi_meta(payload)
             if meta is not None:
                 return ExtractResult("", sha256_text(""), 0, 0, True, kind, "")
             return ExtractResult(

@@ -1,0 +1,141 @@
+"""Compressed-audio header metadata (kernels/audiometa.py): MP3 / Ogg
+Vorbis / Ogg Opus / FLAC, with hand-built spec fixtures, a wild-file
+check, and the classify/extract wiring."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from paddle_spark.kernels.audiometa import (
+    audio_container_meta,
+    flac_meta,
+    mp3_meta,
+    ogg_meta,
+)
+
+WILD_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+def _mp3_frame(version=3, br_idx=9, sr_idx=0, mono=False) -> bytes:
+    """One valid MPEG Layer-III frame header + silence payload of the
+    exact spec frame length (144 * bitrate / rate + padding)."""
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1   # sync low bits, layer III
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    rates = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000]}[version]
+    kbps = ([0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+            if version == 3 else
+            [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160])[br_idx]
+    n = (144000 * kbps) // rates[sr_idx]
+    return (bytes([0xFF, b1, b2, b3]) + b"\x00" * (n - 4))
+
+
+def _ogg_page(body: bytes, granule: int = 0, serial: int = 7) -> bytes:
+    nseg = (len(body) + 254) // 255 or 1
+    segs = []
+    rest = len(body)
+    for _ in range(nseg):
+        segs.append(min(rest, 255))
+        rest -= segs[-1]
+    return (b"OggS" + b"\x00\x02" + struct.pack("<q", granule)
+            + struct.pack("<III", serial, 0, 0) + bytes([nseg]) + bytes(segs)
+            + body)
+
+
+class TestMp3:
+    def test_cbr_estimate_and_id3_skip(self):
+        frames = b"".join(_mp3_frame() for _ in range(40))  # 128kbps 44.1k
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"x" * 20
+        for payload in (frames, tag + frames):
+            m = mp3_meta(payload)
+            assert m["format"] == "mp3"
+            assert (m["sample_rate"], m["bitrate_kbps"], m["channels"]) == (44100, 128, 2)
+            assert m["est_duration_ms"] == round(len(frames) * 8.0 / 128, 3)
+
+    def test_mpeg2_mono(self):
+        m = mp3_meta(_mp3_frame(version=2, br_idx=5, sr_idx=0, mono=True) * 3)
+        assert (m["sample_rate"], m["bitrate_kbps"], m["channels"]) == (22050, 40, 1)
+
+    def test_wild_mp3(self):
+        import os
+
+        if not os.path.exists(WILD_MP3):
+            pytest.skip("no wild mp3")
+        m = audio_container_meta(open(WILD_MP3, "rb").read())
+        assert m["format"] == "mp3" and m["sample_rate"] in (44100, 48000, 32000,
+                                                             22050, 24000, 16000,
+                                                             11025, 12000, 8000)
+        assert 0 < m["est_duration_ms"] < 60_000
+
+    def test_garbage_declines(self):
+        assert mp3_meta(b"\x00" * 100) is None
+        assert mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x02xx" + b"\x00" * 50) is None
+
+
+class TestOgg:
+    def test_vorbis_id_and_granule(self):
+        ident = b"\x01vorbis" + bytes([0, 0, 0, 0, 2]) + struct.pack("<I", 44100) + b"\x00" * 16
+        p = _ogg_page(ident) + _ogg_page(b"\x05data", granule=88200)
+        m = ogg_meta(p)
+        assert m["format"] == "ogg-vorbis"
+        assert (m["sample_rate"], m["channels"]) == (44100, 2)
+        assert m["est_duration_ms"] == 2000.0
+
+    def test_opus_head_pre_skip(self):
+        head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        p = _ogg_page(head) + _ogg_page(b"x", granule=48000 + 312)
+        m = ogg_meta(p)
+        assert m["format"] == "ogg-opus"
+        assert (m["sample_rate"], m["channels"]) == (48000, 1)
+        assert m["est_duration_ms"] == 1000.0
+
+    def test_non_audio_ogg_declines(self):
+        assert ogg_meta(_ogg_page(b"\x80theora" + b"\x00" * 20)) is None
+
+
+class TestFlac:
+    def _streaminfo(self, rate, channels, total):
+        v = (rate << 44) | ((channels - 1) << 41) | (20 << 36) | total
+        si = b"\x10\x00\x10\x00" + b"\x00\x00\x00" + b"\x00\x00\x00" + v.to_bytes(8, "big") + b"\x00" * 16
+        return b"fLaC" + b"\x00" + len(si).to_bytes(3, "big") + si
+
+    def test_streaminfo(self):
+        m = flac_meta(self._streaminfo(96000, 2, 960000))
+        assert (m["format"], m["sample_rate"], m["channels"]) == ("flac", 96000, 2)
+        assert m["est_duration_ms"] == 10000.0
+
+    def test_wrong_first_block_declines(self):
+        p = bytearray(self._streaminfo(44100, 2, 1))
+        p[4] = 0x04  # VORBIS_COMMENT first: invalid stream
+        assert flac_meta(bytes(p)) is None
+
+
+def test_classify_and_extract_wiring(spark):
+    """Compressed-audio magics classify audio (kernel + Column twin) and
+    extract_document treats parseable containers as zero-block successes."""
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import payload_kind_col
+    from paddle_spark.kernels.classify import classify_payload
+    from paddle_spark.kernels.extract import extract_document
+
+    frames = b"".join(_mp3_frame() for _ in range(3))
+    ogg = _ogg_page(b"\x01vorbis" + bytes([0, 0, 0, 0, 1]) + struct.pack("<I", 8000) + b"\x00" * 16)
+    flac = TestFlac()._streaminfo(8000, 1, 8000)
+    payloads = [b"ID3\x04\x00\x00\x00\x00\x00\x00" + frames, ogg, flac]
+    for p in payloads:
+        assert classify_payload(p) == "audio", p[:8]
+        r = extract_document(p)
+        assert r.parse_ok and r.branch == "audio", p[:8]
+    # bare-sync mp3 (no ID3): documented classify compromise -> garbage
+    assert classify_payload(frames) == "garbage"
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads + [frames])],
+        "i int, html binary",
+    )
+    got = {r["i"]: r["k"] for r in df.select(
+        "i", payload_kind_col(F.col("html")).alias("k")).collect()}
+    for i, p in enumerate(payloads + [frames]):
+        assert got[i] == classify_payload(p), i

@@ -47,3 +47,25 @@ def test_column_twin_parity(spark):
     got = {r["i"]: r["k"] for r in df.select("i", payload_kind_col(F.col("html")).alias("k")).collect()}
     for i, p in enumerate(payloads):
         assert got[i] == classify_payload(p), (i, p)
+
+
+def test_column_twin_never_raises_on_binary_soup(spark):
+    """payload_kind_col on arbitrary invalid-UTF-8 binary must classify,
+    not raise (the prefix decode is latin-1, not UTF-8 — a UTF-8 decode
+    raises under ANSI mode and would fail a whole job on one soup row)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import payload_kind_col
+
+    rng = random.Random(9)
+    payloads = [bytes(rng.randrange(256) for _ in range(40)) for _ in range(64)]
+    payloads += [b"\xff\xfe\xfd<html>", b"\x80\x81<", b"\xc3("]  # invalid utf-8
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    got = {r["i"]: r["k"] for r in df.select(
+        "i", payload_kind_col(F.col("html")).alias("k")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == classify_payload(p), (i, p[:8])
