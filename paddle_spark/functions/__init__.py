@@ -51,6 +51,7 @@ def payload_kind_col(html: Column) -> Column:
         .when(F.substring(html, 1, 3) == F.lit(b"ID3"), F.lit("audio"))
         .when(F.substring(html, 1, 4) == F.lit(b"OggS"), F.lit("audio"))
         .when(F.substring(html, 1, 4) == F.lit(b"fLaC"), F.lit("audio"))
+        .when(F.substring(html, 5, 4) == F.lit(b"ftyp"), F.lit("video"))
         .when(
             (F.substring(html, 1, 4) == F.lit(b"FORM"))
             & riff_form.isin([F.lit(b"AIFF"), F.lit(b"AIFC")]),

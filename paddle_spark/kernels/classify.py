@@ -59,6 +59,8 @@ def classify_payload(payload: bytes | None) -> str:
         return KIND_AUDIO
     if payload[:3] == b"ID3" or payload[:4] in (b"OggS", b"fLaC"):
         return KIND_AUDIO  # compressed audio: ID3-tagged MP3 / Ogg / FLAC
+    if payload[4:8] == b"ftyp":
+        return KIND_VIDEO  # ISO-BMFF (MP4/MOV/M4A; kernels/bmff.py)
     if payload[:4] == b"FORM":  # generic IFF: only the audio forms are ours
         return KIND_AUDIO if payload[8:12] in (b"AIFF", b"AIFC") else KIND_GARBAGE
     head = payload[:256].lstrip()

@@ -111,7 +111,9 @@ def extract_document(
             if kind == KIND_AUDIO:
                 meta = decode_audio(payload) or audio_container_meta(payload)
             else:
-                meta = avi_meta(payload)
+                from paddle_spark.kernels.bmff import mp4_meta
+
+                meta = avi_meta(payload) or mp4_meta(payload)
             if meta is not None:
                 return ExtractResult("", sha256_text(""), 0, 0, True, kind, "")
             return ExtractResult(

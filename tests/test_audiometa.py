@@ -139,3 +139,58 @@ def test_classify_and_extract_wiring(spark):
         "i", payload_kind_col(F.col("html")).alias("k")).collect()}
     for i, p in enumerate(payloads + [frames]):
         assert got[i] == classify_payload(p), i
+
+
+class TestMp4:
+    """ISO-BMFF header walk (kernels/bmff.py) — hand-built box fixtures."""
+
+    @staticmethod
+    def _box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def _movie(self, ver=0, ts=1000, dur=5000, w=640, h=360):
+        b = self._box
+        if ver == 0:
+            mvhd = b(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", ts, dur) + bytes(80))
+        else:
+            mvhd = b(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                     + struct.pack(">I", ts) + struct.pack(">Q", dur) + bytes(80))
+        tkhd_v = b(b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16))
+        tkhd_a = b(b"tkhd", bytes(76) + struct.pack(">II", 0, 0))
+        moov = b(b"moov", mvhd + b(b"trak", tkhd_a) + b(b"trak", tkhd_v))
+        return b(b"ftyp", b"isomiso2") + moov + b(b"mdat", b"\x00" * 32)
+
+    def test_version0_and_tracks(self):
+        from paddle_spark.kernels.bmff import mp4_meta
+
+        m = mp4_meta(self._movie())
+        assert m == {"format": "mp4", "brand": "isom", "duration_ms": 5000.0,
+                     "n_tracks": 2, "width": 640, "height": 360}
+
+    def test_version1_64bit_duration(self):
+        from paddle_spark.kernels.bmff import mp4_meta
+
+        m = mp4_meta(self._movie(ver=1, ts=90000, dur=90000 * 7, w=1920, h=1080))
+        assert m["duration_ms"] == 7000.0 and (m["width"], m["height"]) == (1920, 1080)
+
+    def test_degrades(self):
+        from paddle_spark.kernels.bmff import mp4_meta
+
+        assert mp4_meta(b"\x00\x00\x00\x08free") is None
+        assert mp4_meta(self._box(b"ftyp", b"isomiso2")) is None  # no moov
+        trunc = self._movie()[:40]
+        assert mp4_meta(trunc) is None or isinstance(mp4_meta(trunc), dict)
+
+    def test_classify_and_extract(self, spark):
+        from pyspark.sql import functions as F
+
+        from paddle_spark.functions import payload_kind_col
+        from paddle_spark.kernels.classify import classify_payload
+        from paddle_spark.kernels.extract import extract_document
+
+        p = self._movie()
+        assert classify_payload(p) == "video"
+        r = extract_document(p)
+        assert r.parse_ok and r.branch == "video"
+        df = spark.createDataFrame([(0, bytearray(p))], "i int, html binary")
+        assert df.select(payload_kind_col(F.col("html")).alias("k")).first()["k"] == "video"
