@@ -1668,6 +1668,120 @@ FROM bi b LEFT JOIN tops t USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus safety: PII redaction + benchmark decontamination (operators/safety)
+# ---------------------------------------------------------------------------
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents<200 with one planted email + IPv4 + phone per row,
+    derived from doc_id — identical construction in the oracle SQL so
+    redaction correctness is hash-checkable end-to-end."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" u"), did, F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 tel +1 4155550"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones -> typed tokens + audit counts),
+    pure Column regexps in the Java-regex ∩ RE2 subset so the oracle runs
+    the IDENTICAL pattern strings."""
+    from paddle_spark.operators.safety import pii_redact
+
+    return pii_redact(_pii_docs(spark, sf_dir))
+
+
+def _pii_oracle() -> str:
+    from paddle_spark.operators.safety import (
+        EMAIL_PATTERN, EMAIL_TOKEN, IPV4_PATTERN, IPV4_TOKEN,
+        PHONE_PATTERN, PHONE_TOKEN,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' u' || doc_id || '@example.com ip 10.0.' || (doc_id % 256)
+              || '.9 tel +1 4155550' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+           AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
+      '{IPV4_PATTERN}', '{IPV4_TOKEN}', 'g'),
+      '{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones
+FROM d
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram benchmark decontamination: benchmark = documents with
+    doc_id % 97 == 0 (< 300); corpus = documents<300 plus verbatim copies
+    of the benchmark docs at doc_id+1000000 (cross-doc contamination).
+    Plan: explode to md5(gram) -> BROADCAST the distinct benchmark gram
+    set -> hash join -> per-doc distinct count; the corpus side never
+    shuffles before the final doc-id agg."""
+    from paddle_spark.operators.safety import decontaminate
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    bench_rows = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.unionByName(
+        bench_rows.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return decontaminate(corpus, bench_rows.select("text"), n=13)
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 300 AND doc_id % 97 = 0
+),
+bw AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents WHERE doc_id < 300 AND doc_id % 97 = 0
+),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS gram
+  FROM bw, UNNEST(range(1, len(ws) - 11)) AS t(i) WHERE len(ws) >= 13
+),
+cw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM corpus
+),
+cg AS (
+  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+  FROM cw, UNNEST(range(1, len(ws) - 11)) AS t(i) WHERE len(ws) >= 13
+)
+SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_gram_hits
+FROM cg JOIN bg USING (gram) GROUP BY 1
+"""
+
+
+def q_text_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-safety suite: PII redaction + benchmark decontamination
+    (operators/safety.py), unioned by name."""
+    return _suite_frame(spark, sf_dir, [
+        ("pii_redact", q_pii_redact),
+        ("decontaminate", q_decontaminate),
+    ])
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddle_spark.operators.multimodal import binary_meta
 
@@ -2638,6 +2752,54 @@ def q_windows_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_job_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4/A6 consolidated: total/conditional counters and the
+    status-server aggregation (sum active / max configured / clamped
+    idle) as one null-padded union suite."""
+    return _suite_frame(spark, sf_dir, [
+        ("counter_aggregates", q_counter_aggregates),
+        ("status_aggregation", q_status_aggregation),
+    ])
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF suite: deterministic-seed assignment and the quantizer after
+    ONE DataFrame-native k-means round (ivf_train), same schema."""
+    return _suite_frame(spark, sf_dir, [
+        ("ivf_assign", q_ann_ivf_assign),
+        ("ivf_refined", q_ann_ivf_refined),
+    ])
+
+
+def q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twins for the rows-only hash-dependent dedup paths: the
+    full MinHash banding pipeline and the SimHash banded Hamming join on
+    planted inputs whose outputs are closed-form (the 50 planted pairs)."""
+    return _suite_frame(spark, sf_dir, [
+        ("minhash_planted", q_dedup_minhash_planted),
+        ("simhash_planted", q_dedup_simhash_planted),
+    ])
+
+
+def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup suite: exact text dedup (D4, groupBy-rep) and
+    last-wins key collapse (J5, window rn=1)."""
+    return _suite_frame(spark, sf_dir, [
+        ("dedup_exact", q_dedup_exact),
+        ("dedup_lastwins", q_dedup_lastwins),
+    ])
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup suite: exact pairwise cosine baseline and the
+    banded hyperplane-LSH scale path (planted duplicates make the LSH
+    output equal the exact pairwise result — both branches hash-green)."""
+    return _suite_frame(spark, sf_dir, [
+        ("embedding_cosine", q_dedup_embedding_cosine),
+        ("embedding_bucketed", q_dedup_embedding_bucketed),
+    ])
+
+
 def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/scalar kernel suite — regex extraction, bbox-key
     normalization (X3), data-URI strip (X6), base64 round-trip (X1), and
@@ -2698,6 +2860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; two-round-stable entries run last."""
     return {
         # --- NEW NAMES this round (r5) run first ---
+        "text_safety": q_text_safety,              # NEW: PII redact + decontaminate
+        "job_counters": q_job_counters,            # consolidates counter/status aggs
+        "ann_ivf": q_ann_ivf,                      # consolidates assign + refined
+        "dedup_planted": q_dedup_planted,          # consolidates minhash/simhash twins
+        "dedup_keys": q_dedup_keys,                # consolidates exact + lastwins
+        "dedup_embedding": q_dedup_embedding,      # consolidates cosine + bucketed
         "extract_orientation": q_extract_orientation,  # NEW: 0/90/180/270 classify + OCR
         "extract_tables": q_extract_tables,        # NEW: cell grid -> markdown table
         "mm_audio_video": q_mm_audio_video,        # NEW: WAV stats + AVI frame sample
@@ -2722,8 +2890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,      # NEW: animated-GIF frame sampling
         "extract_real_pdf": q_extract_real_pdf,    # NEW: exact oracle thru kernels/pdf.py
         "ann_lsh_planted": q_ann_lsh_planted,
-        "ann_ivf_assign": q_ann_ivf_assign,
-        "ann_ivf_refined": q_ann_ivf_refined,      # NEW: iterative k-means round
 
         "text_stats": q_text_stats,        # consolidates tokens/quality/fingerprint
         "text_signals": q_text_signals,    # consolidates langid/repetition
@@ -2739,22 +2905,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- joins ---
         "computed_key_join": q_computed_key_join,
         "left_join_coalesce": q_left_join_coalesce,
-        "dedup_lastwins": q_dedup_lastwins,
         "caption_enrich": q_caption_enrich,
-        # --- dedup family ---
-        "dedup_exact": q_dedup_exact,
+        # --- dedup family (dedup_keys/dedup_planted/dedup_embedding
+        #     suites above carry exact/lastwins, the planted twins, and
+        #     the embedding cosine/bucketed pair) ---
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "dedup_simhash_planted": q_dedup_simhash_planted,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "ann_topk": q_ann_topk,
-        # --- aggregations ---
+        # --- aggregations (job_counters suite above carries
+        #     counter_aggregates + status_aggregation) ---
         "ordered_concat": q_ordered_concat,
-        "counter_aggregates": q_counter_aggregates,
-        "status_aggregation": q_status_aggregation,
         "sessionize": q_sessionize,
         "time_buckets": q_time_buckets,
     }
@@ -2798,11 +2959,20 @@ def oracle_sql() -> dict[str, str]:
             ("above_join", _ABOVE_JOIN_ORACLE),
             ("above_join_bucketed", _ABOVE_JOIN_ORACLE),
         ]),
-        "dedup_lastwins": _DEDUP_LASTWINS_ORACLE,
+        "dedup_keys": _suite_oracle([
+            ("dedup_exact", _DEDUP_EXACT_ORACLE),
+            ("dedup_lastwins", _DEDUP_LASTWINS_ORACLE),
+        ]),
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,
-        "counter_aggregates": _COUNTER_ORACLE,
-        "status_aggregation": _STATUS_AGG_ORACLE,
+        "job_counters": _suite_oracle([
+            ("counter_aggregates", _COUNTER_ORACLE),
+            ("status_aggregation", _STATUS_AGG_ORACLE),
+        ]),
+        "text_safety": _suite_oracle([
+            ("pii_redact", _pii_oracle()),
+            ("decontaminate", _DECONTAMINATE_ORACLE),
+        ]),
         "relational_core": _suite_oracle([
             ("pricing_summary", _PRICING_ORACLE),
             ("regional_revenue", _REGIONAL_REVENUE_ORACLE),
@@ -2830,15 +3000,20 @@ def oracle_sql() -> dict[str, str]:
         ]),
         "sessionize": _SESSIONIZE_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,
-        "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "dedup_embedding_cosine": _EMB_NEAR_DUP_ORACLE,
-        "dedup_embedding_bucketed": _EMB_BUCKETED_ORACLE,
-        "dedup_minhash_planted": _PLANTED_PAIRS_ORACLE,
-        "dedup_simhash_planted": _SIMHASH_PLANTED_ORACLE,
+        "dedup_embedding": _suite_oracle([
+            ("embedding_cosine", _EMB_NEAR_DUP_ORACLE),
+            ("embedding_bucketed", _EMB_BUCKETED_ORACLE),
+        ]),
+        "dedup_planted": _suite_oracle([
+            ("minhash_planted", _PLANTED_PAIRS_ORACLE),
+            ("simhash_planted", _SIMHASH_PLANTED_ORACLE),
+        ]),
         "ann_topk": _ANN_TOPK_ORACLE,
-        "ann_ivf_assign": _IVF_ORACLE,
-        "ann_ivf_refined": _IVF_REFINED_ORACLE,
+        "ann_ivf": _suite_oracle([
+            ("ivf_assign", _IVF_ORACLE),
+            ("ivf_refined", _IVF_REFINED_ORACLE),
+        ]),
         "ann_lsh_planted": _ANN_LSH_PLANTED_ORACLE,
         "mm_binary_meta": _MM_META_ORACLE,
         "mm_decode_dims": _MM_DECODE_DIMS_ORACLE,
