@@ -2628,12 +2628,84 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, 1 + CAST(d.i % 4 AS INT))) AS 
 """
 
 
+def q_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level a/v metadata over all three movie containers with
+    an EXACT oracle: doc_id % 3 picks ISO-BMFF (make_mp4), EBML/WebM
+    (make_webm) or raw AVI (make_avi_raw); ids >= 90 are planted text
+    garbage that must degrade to decode_ok=false — every field is
+    closed-form in doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import container_meta
+    from paddle_spark.sources.synth import make_avi_raw, make_mp4, make_webm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def to_media(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                if i >= 90:
+                    payloads.append(b"not a movie %d" % i)
+                elif i % 3 == 0:
+                    payloads.append(make_mp4(
+                        1000, 1000 * (3 + i % 7), 640 + i % 5, 360 + i % 3,
+                        version=i % 2,
+                    ))
+                elif i % 3 == 1:
+                    payloads.append(make_webm(
+                        float(2 + i % 6), 320 + i % 4, 240 + i % 2,
+                        audio_hz=48000,
+                    ))
+                else:
+                    w, h = 16 + 8 * (i % 5), 16 + 8 * (i % 3)
+                    frames = [np.zeros((h, w, 3), np.uint8)] * (2 + i % 4)
+                    payloads.append(make_avi_raw(frames, fps=25))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_media, schema="media_id long, payload binary")
+    # decode_ok is a nullable boolean once null-padded across the suite
+    # union, which DuckDB's pandas bridge renders as float NaN — the
+    # garbage rows stay visible as format='unknown' with NULL fields.
+    return container_meta(media).drop("decode_ok")
+
+
+_CONTAINER_META_ORACLE = """
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 100)
+SELECT i AS media_id,
+  CASE WHEN i >= 90 THEN 'unknown'
+       WHEN i % 3 = 0 THEN 'mp4'
+       WHEN i % 3 = 1 THEN 'webm' ELSE 'avi' END AS format,
+  CASE WHEN i >= 90 THEN NULL
+       WHEN i % 3 = 0 THEN CAST(1000 * (3 + i % 7) AS DOUBLE)
+       WHEN i % 3 = 1 THEN CAST(1000 * (2 + i % 6) AS DOUBLE)
+       ELSE CAST((2 + i % 4) * 40 AS DOUBLE) END AS duration_ms,
+  CAST(CASE WHEN i >= 90 THEN 0
+       WHEN i % 3 = 0 THEN 2 WHEN i % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+  CAST(CASE WHEN i >= 90 THEN NULL
+       WHEN i % 3 = 0 THEN 640 + i % 5
+       WHEN i % 3 = 1 THEN 320 + i % 4
+       ELSE 16 + 8 * (i % 5) END AS BIGINT) AS width,
+  CAST(CASE WHEN i >= 90 THEN NULL
+       WHEN i % 3 = 0 THEN 360 + i % 3
+       WHEN i % 3 = 1 THEN 240 + i % 2
+       ELSE 16 + 8 * (i % 3) END AS BIGINT) AS height
+FROM d
+"""
+
+
 def q_mm_audio_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio + video suite: WAV/PCM feature extraction and AVI/MJPEG
-    frame sampling (kernels/riffav.py), unioned by name."""
+    """Audio + video suite: WAV/PCM feature extraction, AVI/MJPEG frame
+    sampling (kernels/riffav.py), and container-level metadata over
+    MP4/WebM/AVI (kernels/bmff.py, ebml.py), unioned by name."""
     return _suite_frame(spark, sf_dir, [
         ("audio_stats", q_audio_stats),
         ("video_frames", q_video_frames),
+        ("container_meta", q_container_meta),
     ])
 
 
@@ -2929,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_video": _suite_oracle([
             ("audio_stats", _AUDIO_STATS_ORACLE),
             ("video_frames", _VIDEO_FRAMES_ORACLE),
+            ("container_meta", _CONTAINER_META_ORACLE),
         ]),
         "extract_scanned": _EXTRACT_SCANNED_ORACLE,
         "extract_scanned_pdf": _EXTRACT_SCANNED_PDF_ORACLE,

@@ -53,6 +53,10 @@ def payload_kind_col(html: Column) -> Column:
         .when(F.substring(html, 1, 4) == F.lit(b"fLaC"), F.lit("audio"))
         .when(F.substring(html, 5, 4) == F.lit(b"ftyp"), F.lit("video"))
         .when(
+            F.substring(html, 1, 4) == F.lit(b"\x1a\x45\xdf\xa3"),
+            F.lit("video"),  # EBML: Matroska/WebM
+        )
+        .when(
             (F.substring(html, 1, 4) == F.lit(b"FORM"))
             & riff_form.isin([F.lit(b"AIFF"), F.lit(b"AIFC")]),
             F.lit("audio"),

@@ -61,6 +61,8 @@ def classify_payload(payload: bytes | None) -> str:
         return KIND_AUDIO  # compressed audio: ID3-tagged MP3 / Ogg / FLAC
     if payload[4:8] == b"ftyp":
         return KIND_VIDEO  # ISO-BMFF (MP4/MOV/M4A; kernels/bmff.py)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return KIND_VIDEO  # EBML: Matroska/WebM (kernels/ebml.py)
     if payload[:4] == b"FORM":  # generic IFF: only the audio forms are ours
         return KIND_AUDIO if payload[8:12] in (b"AIFF", b"AIFC") else KIND_GARBAGE
     head = payload[:256].lstrip()

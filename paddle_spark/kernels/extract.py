@@ -112,8 +112,9 @@ def extract_document(
                 meta = decode_audio(payload) or audio_container_meta(payload)
             else:
                 from paddle_spark.kernels.bmff import mp4_meta
+                from paddle_spark.kernels.ebml import webm_meta
 
-                meta = avi_meta(payload) or mp4_meta(payload)
+                meta = avi_meta(payload) or mp4_meta(payload) or webm_meta(payload)
             if meta is not None:
                 return ExtractResult("", sha256_text(""), 0, 0, True, kind, "")
             return ExtractResult(

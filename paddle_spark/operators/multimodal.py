@@ -540,6 +540,72 @@ def audio_stats(media: DataFrame, id_col: str = "media_id",
     return src.mapInPandas(batch, schema=AUDIO_SCHEMA)
 
 
+CONTAINER_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("n_tracks", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+])
+
+
+def container_meta(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Container-level a/v metadata over binary columns: tries the AVI
+    walk (kernels/riffav.avi_meta), ISO-BMFF (kernels/bmff.mp4_meta) and
+    EBML/Matroska (kernels/ebml.webm_meta) in magic order and reports
+    the shared (format, duration_ms, n_tracks, width, height) schema —
+    what a crawl pipeline filters on before deciding to ship a payload
+    to a codec fleet. Arrow-batched mapInPandas, map-only plan,
+    per-item isolation (garbage -> decode_ok=false)."""
+    from paddle_spark.kernels.bmff import mp4_meta
+    from paddle_spark.kernels.ebml import webm_meta
+    from paddle_spark.kernels.riffav import avi_meta
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def _avi(p):
+        m = avi_meta(p)
+        if m is None:
+            return None
+        return {"format": "avi",
+                "duration_ms": m["n_frames"] * m["us_per_frame"] / 1000.0,
+                "n_tracks": 1,  # the minimal walk reports the vids stream
+                "width": m["width"], "height": m["height"]}
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = None
+                try:
+                    p = bytes(payload) if payload is not None else None
+                    meta = _avi(p) or mp4_meta(p) or webm_meta(p)
+                except Exception:  # per-item isolation
+                    meta = None
+                if meta is None:
+                    rows.append((int(mid), "unknown", None, 0, None, None, False))
+                else:
+                    rows.append((
+                        int(mid), meta["format"],
+                        None if meta["duration_ms"] is None
+                        else float(meta["duration_ms"]),
+                        int(meta["n_tracks"]),
+                        meta["width"], meta["height"], True,
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "format", "duration_ms", "n_tracks",
+                "width", "height", "decode_ok",
+            ])
+
+    return src.mapInPandas(batch, schema=CONTAINER_SCHEMA)
+
+
 def video_frames(
     media: DataFrame,
     every_k: int = 1,

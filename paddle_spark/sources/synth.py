@@ -1670,3 +1670,72 @@ def make_tiff_multi(frames) -> bytes:
         out[pos : pos + 4] = nxt.to_bytes(4, "little")
     out[4:8] = ifd_offs[0].to_bytes(4, "little")
     return bytes(out)
+
+
+def make_webm(
+    duration_s: float,
+    width: int | None = None,
+    height: int | None = None,
+    audio_hz: int | None = None,
+    doctype: str = "webm",
+    timestamp_scale: int = 1_000_000,
+) -> bytes:
+    """A valid minimal EBML/Matroska movie header (RFC 8794 varint
+    framing + the public Matroska element ids): EBML(DocType) +
+    Segment(Info(TimestampScale, Duration), Tracks(TrackEntry...)) — the
+    spec twin for kernels/ebml.webm_meta. A video track (V_VP8,
+    PixelWidth/Height) is emitted when width/height are given, an audio
+    track (A_OPUS, SamplingFrequency/Channels) when audio_hz is."""
+
+    def vint_size(v: int) -> bytes:
+        # encode a size with the marker bit (1-4 bytes is plenty here)
+        for n in range(1, 5):
+            if v < (1 << (7 * n)) - 1:
+                return ((1 << (7 * n)) | v).to_bytes(n, "big")
+        raise ValueError(v)
+
+    def elem(eid: int, body: bytes) -> bytes:
+        return eid.to_bytes((eid.bit_length() + 7) // 8, "big") + vint_size(len(body)) + body
+
+    def uint_body(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    ebml = elem(0x1A45DFA3, elem(0x4282, doctype.encode()))
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, uint_body(timestamp_scale))
+                + elem(0x4489, struct.pack(">d", duration_s * 1e9 / timestamp_scale)))
+    tracks = b""
+    if width is not None and height is not None:
+        tracks += elem(0xAE,
+                       elem(0x83, b"\x01") + elem(0x86, b"V_VP8")
+                       + elem(0xE0, elem(0xB0, uint_body(width))
+                              + elem(0xBA, uint_body(height))))
+    if audio_hz is not None:
+        tracks += elem(0xAE,
+                       elem(0x83, b"\x02") + elem(0x86, b"A_OPUS")
+                       + elem(0xE1, elem(0xB5, struct.pack(">f", float(audio_hz)))
+                              + elem(0x9F, b"\x02")))
+    segment = elem(0x18538067, info + elem(0x1654AE6B, tracks))
+    return ebml + segment
+
+
+def make_mp4(timescale: int = 1000, duration: int = 5000,
+             width: int = 640, height: int = 360, version: int = 0) -> bytes:
+    """A valid minimal ISO-BMFF movie header (ftyp + moov(mvhd,
+    trak(tkhd audio zeros), trak(tkhd video 16.16 dims)) + mdat) — the
+    spec twin for kernels/bmff.mp4_meta; mvhd version 0 or 1."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    if version == 0:
+        mvhd = box(b"mvhd", bytes(4) + bytes(8)
+                   + struct.pack(">II", timescale, duration) + bytes(80))
+    else:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                   + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                   + bytes(80))
+    tkhd_v = box(b"tkhd", bytes(76) + struct.pack(">II", width << 16, height << 16))
+    tkhd_a = box(b"tkhd", bytes(76) + struct.pack(">II", 0, 0))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd_a) + box(b"trak", tkhd_v))
+    return box(b"ftyp", b"isomiso2") + moov + box(b"mdat", b"\x00" * 16)

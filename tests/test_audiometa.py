@@ -194,3 +194,101 @@ class TestMp4:
         assert r.parse_ok and r.branch == "video"
         df = spark.createDataFrame([(0, bytearray(p))], "i int, html binary")
         assert df.select(payload_kind_col(F.col("html")).alias("k")).first()["k"] == "video"
+
+
+class TestWebm:
+    """EBML/Matroska header walk (kernels/ebml.py) vs the spec-twin
+    encoder (synth.make_webm) plus hand-mangled framing cases."""
+
+    def test_video_and_audio_tracks(self):
+        from paddle_spark.kernels.ebml import webm_meta
+        from paddle_spark.sources.synth import make_webm
+
+        m = webm_meta(make_webm(7.5, 640, 360, audio_hz=48000))
+        assert m == {"format": "webm", "brand": "webm", "duration_ms": 7500.0,
+                     "n_tracks": 2, "width": 640, "height": 360,
+                     "codecs": ["V_VP8", "A_OPUS"]}
+
+    def test_audio_only_matroska_nondefault_scale(self):
+        from paddle_spark.kernels.ebml import webm_meta
+        from paddle_spark.sources.synth import make_webm
+
+        m = webm_meta(make_webm(3.0, audio_hz=8000, doctype="matroska",
+                                timestamp_scale=500_000))
+        assert m["format"] == "matroska" and m["duration_ms"] == 3000.0
+        assert m["n_tracks"] == 1 and m["width"] is None
+
+    def test_unknown_size_segment(self):
+        from paddle_spark.kernels.ebml import webm_meta
+        from paddle_spark.sources.synth import make_webm
+
+        p = make_webm(7.5, 640, 360, audio_hz=48000)
+        seg = (0x18538067).to_bytes(4, "big")
+        i = p.index(seg) + 4
+        first = p[i]
+        n, mask = 1, 0x80
+        while not (first & mask):
+            n += 1
+            mask >>= 1
+        # re-frame the Segment with the 1-byte unknown-size marker 0xFF
+        p2 = p[:i] + b"\xff" + p[i + n:]
+        assert webm_meta(p2) == webm_meta(p)
+
+    def test_degrades(self):
+        from paddle_spark.kernels.ebml import webm_meta
+
+        assert webm_meta(None) is None
+        assert webm_meta(b"nope") is None
+        assert webm_meta(b"\x1a\x45\xdf\xa3" + b"junk" * 4) is None
+        from paddle_spark.sources.synth import make_webm
+        trunc = make_webm(7.5, 640, 360)[:20]
+        assert trunc[:4] == b"\x1a\x45\xdf\xa3"
+        m = webm_meta(trunc)
+        assert m is None or isinstance(m, dict)
+
+    def test_classify_and_extract(self, spark):
+        from pyspark.sql import functions as F
+
+        from paddle_spark.functions import payload_kind_col
+        from paddle_spark.kernels.classify import classify_payload
+        from paddle_spark.kernels.extract import extract_document
+        from paddle_spark.sources.synth import make_webm
+
+        p = make_webm(2.0, 320, 240)
+        assert classify_payload(p) == "video"
+        r = extract_document(p)
+        assert r.parse_ok and r.branch == "video" and r.text == ""
+        df = spark.createDataFrame([(0, bytearray(p))], "i int, html binary")
+        got = df.select(payload_kind_col(F.col("html")).alias("k")).collect()
+        assert got[0]["k"] == "video"
+
+
+class TestContainerMeta:
+    """container_meta operator: one shared schema over MP4 + WebM + AVI
+    with per-item garbage isolation."""
+
+    def test_three_containers_and_garbage(self, spark):
+        import numpy as np
+
+        from paddle_spark.operators.multimodal import container_meta
+        from paddle_spark.sources.synth import make_avi_raw, make_mp4, make_webm
+
+        payloads = [
+            (0, make_mp4(1000, 4000, 640, 360)),
+            (1, make_webm(2.0, 320, 240, audio_hz=48000)),
+            (2, make_avi_raw([np.zeros((24, 32, 3), np.uint8)] * 3, fps=25)),
+            (3, b"garbage bytes"),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in container_meta(df).collect()}
+        assert (rows[0].format, rows[0].duration_ms, rows[0].n_tracks,
+                rows[0].width, rows[0].height) == ("mp4", 4000.0, 2, 640, 360)
+        assert (rows[1].format, rows[1].duration_ms, rows[1].n_tracks,
+                rows[1].width, rows[1].height) == ("webm", 2000.0, 2, 320, 240)
+        assert (rows[2].format, rows[2].duration_ms, rows[2].n_tracks,
+                rows[2].width, rows[2].height) == ("avi", 120.0, 1, 32, 24)
+        assert rows[3].format == "unknown" and not rows[3].decode_ok
+        assert all(rows[i].decode_ok for i in (0, 1, 2))
