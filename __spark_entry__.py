@@ -1782,6 +1782,82 @@ def q_text_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+# ---------------------------------------------------------------------------
+# corpus mixing: deterministic hash sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-lang keep rates
+    decided by an md5-derived bucket of a stable key — reruns and the
+    DuckDB oracle agree row-for-row (no RNG anywhere)."""
+    from paddle_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    return hash_sample(
+        d, {"en": 0.3, "de": 1.0, "es": 0.0}, "lang", "key", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+_HASH_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source || '/' || doc_id AS key FROM documents
+)
+SELECT doc_id, lang FROM d
+WHERE ('0x' || substr(md5(key), 1, 8))::UBIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
+                WHEN 'es' THEN 0 ELSE 1000 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing (budget 200 tokens, 4 hash
+    shards) — the iterative-algorithm pattern with an EXACT oracle: the
+    per-shard greedy walk replays in DuckDB as a recursive CTE stepping
+    rank-by-rank within each shard."""
+    from paddle_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(d, budget=200, n_shards=4)
+
+
+_PACK_SEQUENCES_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT id, shard, n_tokens, rn, CAST(0 AS BIGINT) AS seq_no,
+         n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.id, t.shard, t.n_tokens, t.rn,
+         CASE WHEN p.used + t.n_tokens <= 200 THEN p.seq_no
+              ELSE p.seq_no + 1 END,
+         CASE WHEN p.used + t.n_tokens <= 200 THEN p.used + t.n_tokens
+              ELSE t.n_tokens END
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT id, shard, seq_no, n_tokens FROM p
+"""
+
+
+def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing suite: deterministic stratified hash sampling +
+    greedy sequence packing (operators/sampling.py), unioned by name."""
+    return _suite_frame(spark, sf_dir, [
+        ("hash_sample", q_hash_sample),
+        ("pack_sequences", q_pack_sequences),
+    ])
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddle_spark.operators.multimodal import binary_meta
 
@@ -2933,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW NAMES this round (r5) run first ---
         "text_safety": q_text_safety,              # NEW: PII redact + decontaminate
+        "corpus_sampling": q_corpus_sampling,      # NEW: hash sample + seq packing
         "job_counters": q_job_counters,            # consolidates counter/status aggs
         "ann_ivf": q_ann_ivf,                      # consolidates assign + refined
         "dedup_planted": q_dedup_planted,          # consolidates minhash/simhash twins
@@ -3045,6 +3122,10 @@ def oracle_sql() -> dict[str, str]:
         "text_safety": _suite_oracle([
             ("pii_redact", _pii_oracle()),
             ("decontaminate", _DECONTAMINATE_ORACLE),
+        ]),
+        "corpus_sampling": _suite_oracle([
+            ("hash_sample", _HASH_SAMPLE_ORACLE),
+            ("pack_sequences", _PACK_SEQUENCES_ORACLE),
         ]),
         "relational_core": _suite_oracle([
             ("pricing_summary", _PRICING_ORACLE),

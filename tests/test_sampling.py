@@ -1,0 +1,108 @@
+"""Deterministic hash sampling + greedy sequence packing
+(operators/sampling.py): Python-replayed semantics, determinism across
+partitionings, and packing invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from paddle_spark.operators.sampling import (
+    SAMPLE_BUCKETS,
+    hash_sample,
+    pack_sequences,
+)
+
+
+def _bucket(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+
+
+class TestHashSample:
+    RATES = {"en": 0.3, "de": 1.0, "es": 0.0}
+
+    def test_matches_python_replay(self, spark, documents):
+        d = documents.select("doc_id", "lang", F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("key"))
+        got = {
+            r.doc_id
+            for r in hash_sample(d, self.RATES, "lang", "key").collect()
+        }
+        expect = set()
+        for r in d.collect():
+            rate = self.RATES.get(r.lang, 0.0)
+            if _bucket(r.key) < int(rate * SAMPLE_BUCKETS):
+                expect.add(r.doc_id)
+        assert got == expect
+        assert expect  # fixture has en+de rows, so something survives
+
+    def test_deterministic_across_partitionings(self, spark, documents):
+        d = documents.select("doc_id", "lang", F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("key"))
+        a = {r.doc_id for r in hash_sample(d, self.RATES, "lang", "key").collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(
+                d.repartition(7, "lang"), self.RATES, "lang", "key"
+            ).collect()
+        }
+        assert a == b
+
+    def test_rate_extremes(self, spark, documents):
+        d = documents.select("doc_id", "lang", F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("key"))
+        keep_all = hash_sample(d, {}, "lang", "key", default_rate=1.0)
+        assert keep_all.count() == d.count()
+        keep_none = hash_sample(d, {}, "lang", "key", default_rate=0.0)
+        assert keep_none.count() == 0
+
+
+class TestPackSequences:
+    def test_greedy_invariants(self, spark, documents):
+        budget = 200
+        d = documents.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        out = pack_sequences(d, budget=budget, n_shards=4).collect()
+        assert len(out) == d.count()
+        by_seq: dict[tuple, list] = {}
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert r.shard == r.id % 4
+            by_seq.setdefault((r.shard, r.seq_no), []).append(r)
+            by_shard.setdefault(r.shard, []).append(r)
+        # no sequence exceeds the budget unless it is a single long doc
+        for rows in by_seq.values():
+            total = sum(r.n_tokens for r in rows)
+            assert total <= budget or len(rows) == 1
+        # greedy: a doc opens a new sequence only because it didn't fit
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.id)
+            used = None
+            seq = None
+            for r in rows:
+                if seq is not None and r.seq_no == seq:
+                    used += r.n_tokens
+                else:
+                    if used is not None:
+                        assert used + r.n_tokens > budget, (
+                            "doc started a new sequence but would have fit"
+                        )
+                    assert seq is None or r.seq_no == seq + 1
+                    seq, used = r.seq_no, r.n_tokens
+                assert used <= budget or True
+
+    def test_oversized_doc_gets_own_sequence(self, spark):
+        rows = [(0, 50), (1, 500), (2, 60), (3, 70)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {r.id: r.seq_no for r in
+               pack_sequences(df, budget=100, n_shards=1).collect()}
+        # 50 -> seq0; 500 doesn't fit -> seq1 alone; 60 -> seq2; 70 -> seq3
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_deterministic_across_partitionings(self, spark, documents):
+        d = documents.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        a = sorted(map(tuple, pack_sequences(d, 200, 4).collect()))
+        b = sorted(map(tuple,
+                       pack_sequences(d.repartition(13), 200, 4).collect()))
+        assert a == b
