@@ -106,3 +106,26 @@ class TestPackSequences:
         b = sorted(map(tuple,
                        pack_sequences(d.repartition(13), 200, 4).collect()))
         assert a == b
+
+
+class TestPlans:
+    def test_hash_sample_is_map_only(self, spark, documents):
+        d = documents.select(
+            "doc_id", "lang",
+            F.concat(F.col("source"), F.lit("/"),
+                     F.col("doc_id").cast("string")).alias("key"),
+        )
+        plan = hash_sample(d, {"en": 0.5}, "lang", "key")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # scan -> project -> filter only
+        assert "Cartesian" not in plan
+
+    def test_pack_sequences_single_shuffle(self, spark, documents):
+        d = documents.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        plan = pack_sequences(d, 200, 4)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one hash partition on shard
+        assert "FlatMapGroupsInPandas" in plan
+        # the scan must not read the text column into the Python worker:
+        # token counting happened JVM-side before the exchange
+        assert "pack(id" in plan and "text" not in plan.split("Exchange")[0].split("Scan")[0]
