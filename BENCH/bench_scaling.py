@@ -69,6 +69,11 @@ def main() -> None:
     ap.add_argument("--levels", type=str, default=None,
                     help="comma list of core counts to sweep (overrides --n)")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="N rounds of A/B/A/B paired sweeps: each round "
+                    "runs EVERY level once (fresh JVM each), so co-tenant "
+                    "contention hits all levels equally; reports per-round "
+                    "paired efficiencies plus the median")
     args = ap.parse_args()
 
     # materialize the shared corpus once
@@ -97,6 +102,37 @@ def main() -> None:
         if args.levels
         else [args.n, args.n * 4]
     )
+    if args.interleave:
+        # paired protocol: alternate levels within one window so a
+        # co-tenant burst degrades both sides of each ratio, not one
+        rounds = []
+        for r in range(args.interleave):
+            row = {c: run_level(c, corpus, args.docs, 1) for c in levels}
+            effs = {
+                f"{a}->{b}": round(
+                    row[b]["docs_per_sec"] / (4 * row[a]["docs_per_sec"]), 3
+                )
+                for a in levels for b in levels if b == 4 * a
+            }
+            rounds.append({
+                "throughput": {str(c): round(row[c]["docs_per_sec"], 1)
+                               for c in levels},
+                "efficiency": effs,
+            })
+            print(json.dumps({"round": r, **rounds[-1]}), flush=True)
+        keys = rounds[0]["efficiency"].keys()
+        med = {
+            k: sorted(r["efficiency"][k] for r in rounds)[len(rounds) // 2]
+            for k in keys
+        }
+        best = {k: max(r["efficiency"][k] for r in rounds) for k in keys}
+        print(json.dumps({
+            "docs": args.docs, "protocol": "interleaved",
+            "rounds": rounds, "median_efficiency": med,
+            "best_efficiency": best,
+        }, indent=2))
+        return
+
     runs = {}
     for cpus in levels:
         runs[cpus] = run_level(cpus, corpus, args.docs, args.repeat)

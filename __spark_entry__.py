@@ -2929,12 +2929,40 @@ def q_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal with an EXACT oracle: two
+    boilerplate paragraphs planted across docs (doc_id % 3 / % 5) must
+    be dropped while each unique main paragraph survives verbatim —
+    counts are closed-form indicator sums."""
+    from paddle_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\n\nSubscribe to our newsletter")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n\nAll rights reserved")).otherwise(F.lit("")),
+    )
+    return paragraph_dedup(d.select("doc_id", text.alias("text")))
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+SELECT doc_id, text AS clean_text, CAST(1 AS BIGINT) AS n_paras_kept,
+       CAST((doc_id % 3 = 0)::INT + (doc_id % 5 = 0)::INT AS BIGINT)
+         AS n_paras_dropped
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-dedup suite: exact text dedup (D4, groupBy-rep) and
-    last-wins key collapse (J5, window rn=1)."""
+    """Key-dedup suite: exact text dedup (D4, groupBy-rep), last-wins
+    key collapse (J5, window rn=1), and paragraph-level boilerplate
+    removal (CCNet/Dolma-style)."""
     return _suite_frame(spark, sf_dir, [
         ("dedup_exact", q_dedup_exact),
         ("dedup_lastwins", q_dedup_lastwins),
+        ("paragraph_dedup", q_paragraph_dedup),
     ])
 
 
@@ -3112,6 +3140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keys": _suite_oracle([
             ("dedup_exact", _DEDUP_EXACT_ORACLE),
             ("dedup_lastwins", _DEDUP_LASTWINS_ORACLE),
+            ("paragraph_dedup", _PARAGRAPH_DEDUP_ORACLE),
         ]),
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,

@@ -452,3 +452,55 @@ def dedup_transitive(
     ).withColumn(
         "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet/Dolma-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup_docs: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Drop paragraphs that recur (normalized-exact) across >=
+    min_dup_docs distinct documents — the boilerplate-removal stage
+    (nav bars, cookie banners, footers) webtext pipelines run at
+    paragraph granularity where document-level dedup can't reach.
+
+    Plan shape at scale: posexplode paragraphs -> count distinct docs
+    per md5(normalized paragraph) (one hash-agg shuffle on 32-byte
+    keys, map-side partial agg) -> join back (paragraph traffic, not
+    documents) -> re-assemble surviving paragraphs in original order
+    with one groupBy(doc). Returns (id, clean_text, n_paras_kept,
+    n_paras_dropped); empty docs keep a row with clean_text = ''.
+    """
+    norm = lambda c: F.md5(F.trim(F.lower(c)))  # noqa: E731
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("pkey", norm(F.col("para")))
+    counts = paras.groupBy("pkey").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    flagged = paras.join(counts, "pkey").withColumn(
+        "drop", F.col("n_docs") >= min_dup_docs
+    )
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "drop", "para"))
+                    ),
+                    lambda s: ~s["drop"],
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("drop"), 0).otherwise(1)).cast("long").alias("n_paras_kept"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0)).cast("long").alias("n_paras_dropped"),
+    )

@@ -147,3 +147,58 @@ class TestClustering:
         # capped rounds still return a frame (partially converged)
         part = cluster_pairs(pairs, max_rounds=1).collect()
         assert len(part) == n + 1
+
+
+class TestParagraphDedup:
+    def test_boilerplate_dropped_unique_kept(self, spark):
+        from paddle_spark.operators.dedup import paragraph_dedup
+
+        boiler = "Subscribe to our newsletter"
+        docs = [
+            (0, "unique zero\n\n" + boiler + "\n\nalso zero"),
+            (1, "unique one\n\n" + boiler),
+            (2, "unique two only"),
+            (3, boiler),  # nothing survives
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+        assert got[0].clean_text == "unique zero\n\nalso zero"
+        assert (got[0].n_paras_kept, got[0].n_paras_dropped) == (2, 1)
+        assert got[1].clean_text == "unique one"
+        assert got[2].clean_text == "unique two only"
+        assert got[2].n_paras_dropped == 0
+        assert got[3].clean_text == "" and got[3].n_paras_kept == 0
+
+    def test_normalized_matching_and_order(self, spark):
+        from paddle_spark.operators.dedup import paragraph_dedup
+
+        # case/whitespace-insensitive match; surviving order preserved
+        docs = [
+            (0, "A\n\n  shared FOOTER  \n\nB\n\nC"),
+            (1, "shared footer\n\nD"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.clean_text for r in paragraph_dedup(df).collect()}
+        assert got[0] == "A\n\nB\n\nC"
+        assert got[1] == "D"
+
+    def test_threshold(self, spark):
+        from paddle_spark.operators.dedup import paragraph_dedup
+
+        docs = [(i, "common\n\nuniq%d" % i) for i in range(3)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        keep_all = paragraph_dedup(df, min_dup_docs=4).collect()
+        assert all(r.n_paras_dropped == 0 for r in keep_all)
+        strict = {r.doc_id: r.clean_text
+                  for r in paragraph_dedup(df, min_dup_docs=2).collect()}
+        assert strict == {0: "uniq0", 1: "uniq1", 2: "uniq2"}
+
+    def test_repeated_para_within_one_doc_survives(self, spark):
+        from paddle_spark.operators.dedup import paragraph_dedup
+
+        # count is DISTINCT docs: twice in the same doc is not boilerplate
+        df = spark.createDataFrame(
+            [(0, "x\n\nx\n\ny"), (1, "z")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.clean_text for r in paragraph_dedup(df).collect()}
+        assert got[0] == "x\n\nx\n\ny"
