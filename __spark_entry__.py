@@ -1611,12 +1611,19 @@ FROM hits
 
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID (per-language stopword hits + guess) and Gopher-style
-    repetition signals (dup-line/dup-word/top-bigram fractions) in ONE
+    """Language-ID (per-language stopword hits + guess), Gopher-style
+    repetition signals (dup-line/dup-word/top-bigram fractions), and the
+    fastText/CCNet-style hashed-linear quality classifier (token -> md5
+    hash bucket -> weight, mean-pooled logit -> sigmoid -> keep) in ONE
     frame — consolidates the former text_langid / text_repetition driver
-    entries. All pure Column ops incl. an aggregate-over-sorted-array
-    bigram mode; the exact SQL twin uses unnest+groupBy for the mode."""
-    from paddle_spark.operators.textstats import langid, repetition_features
+    entries plus the r5 classifier. All pure Column ops incl. an
+    aggregate-over-sorted-array bigram mode; the exact SQL twin uses
+    unnest+groupBy for the mode and replays the identical md5 bucketing."""
+    from paddle_spark.operators.textstats import (
+        hashed_linear_score,
+        langid,
+        repetition_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
     lid = langid(d).select(
@@ -1626,16 +1633,50 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
     )
     rep = repetition_features(d, id_col="doc_id", text_col="text")
-    return lid.join(rep, "doc_id")
+    clf = hashed_linear_score(d).select(
+        "doc_id", "logit", "prob", F.col("keep").alias("clf_keep")
+    )
+    return lid.join(rep, "doc_id").join(clf, "doc_id")
+
+
+# classifier twin: identical md5-hex bucketing and the integer-exact
+# surrogate model ((bucket % 197) - 98, scaled once after the sum) —
+# verified bit-identical to the Spark side on sf0.01 (0 mismatches)
+_CLASSIFIER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(ws) AS n,
+    coalesce(list_sum(list_transform(ws,
+      t -> ((('0x' || substring(md5(t),1,8))::BIGINT % 4096) % 197) - 98)), 0) AS wsum
+  FROM base
+),
+lg AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN 0.0 + wsum/98.0/n ELSE 0.0 END AS raw_logit
+  FROM s
+)
+SELECT doc_id,
+  round(raw_logit, 6) AS logit,
+  round(1.0/(1.0+exp(-raw_logit)), 6) AS prob,
+  (1.0/(1.0+exp(-raw_logit)) >= 0.5) AS clf_keep
+FROM lg
+"""
 
 
 def _text_signals_oracle() -> str:
     return f"""
 WITH lid AS ({_langid_oracle()}),
-rep AS ({_TEXT_REPETITION_ORACLE})
+rep AS ({_TEXT_REPETITION_ORACLE}),
+clf AS ({_CLASSIFIER_ORACLE})
 SELECT lid.doc_id, hits_en, hits_de, hits_es, hits_hi, lang_guess,
-       dup_line_frac, dup_word_frac, top_bigram_frac
+       dup_line_frac, dup_word_frac, top_bigram_frac,
+       logit, prob, clf_keep
 FROM lid JOIN rep ON lid.doc_id = rep.doc_id
+         JOIN clf ON lid.doc_id = clf.doc_id
 """
 
 
@@ -2989,11 +3030,99 @@ def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic synthetic URL (23 hosts) plus the
+    hashed-linear classifier's (n_tokens, keep) — the per-document inputs
+    a domain-level curation stage consumes. Same construction in the
+    oracle SQL, so the domain aggregates are hash-checkable end-to-end."""
+    from paddle_spark.operators.textstats import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    scored = hashed_linear_score(d).select("doc_id", "n_tokens", "keep")
+    return d.select("doc_id", url.alias("url")).join(scored, "doc_id")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation stats (RefinedWeb-style host gate signal):
+    groupBy(host) with integer-only aggregates + one exact long/long
+    division — map-side partial agg absorbs host skew (curate.domain_stats)."""
+    from paddle_spark.operators.curate import domain_stats
+
+    return domain_stats(_domain_docs(spark, sf_dir))
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving the domain-level bar (host keep-rate >= 0.5 and
+    >= 5 observed docs): pre-aggregated stats joined back left-semi by
+    host (curate.domain_gate)."""
+    from paddle_spark.operators.curate import domain_gate, domain_stats
+
+    docs = _domain_docs(spark, sf_dir)
+    stats = domain_stats(docs)
+    # keep as 0/1 long: null-padded union suites can't carry booleans
+    # (pandas renders the padding NaN on the oracle side)
+    return domain_gate(docs, stats, min_docs=5, min_keep_frac=0.5).select(
+        "doc_id", "url", "n_tokens", F.col("keep").cast("long").alias("kept")
+    )
+
+
+_DOMAIN_DOCS_SQL = r"""
+  SELECT doc_id,
+         'https://site' || (doc_id % 23) || '.example.com/doc/' || doc_id AS url,
+         'site' || (doc_id % 23) || '.example.com' AS host,
+         n_tokens, keep
+  FROM (
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_tokens,
+      (1.0/(1.0+exp(-(CASE WHEN len(ws) > 0 THEN 0.0 +
+        coalesce(list_sum(list_transform(ws,
+          t -> ((('0x' || substring(md5(t),1,8))::BIGINT % 4096) % 197) - 98)), 0)
+        /98.0/len(ws) ELSE 0.0 END))) >= 0.5) AS keep
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    )
+  )
+"""
+
+_DOMAIN_STATS_ORACLE = f"""
+WITH docs AS ({_DOMAIN_DOCS_SQL})
+SELECT host,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) AS keep_frac
+FROM docs GROUP BY host
+"""
+
+_DOMAIN_GATE_ORACLE = f"""
+WITH docs AS ({_DOMAIN_DOCS_SQL}),
+good AS (
+  SELECT host FROM docs GROUP BY host
+  HAVING count(*) >= 5
+     AND round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) >= 0.5
+)
+SELECT doc_id, url, n_tokens,
+       CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM docs WHERE host IN (SELECT host FROM good)
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL suite — canonicalization and outlink extraction."""
+    """URL suite — canonicalization, outlink extraction, and the
+    domain-level curation pair (per-host stats + host gate)."""
     return _suite_frame(spark, sf_dir, [
         ("url_canonicalize", q_url_canonicalize),
         ("outlinks", q_outlinks),
+        ("domain_stats", q_domain_stats),
+        ("domain_gate", q_domain_gate),
     ])
 
 
@@ -3180,6 +3309,8 @@ def oracle_sql() -> dict[str, str]:
         "url_kernels": _suite_oracle([
             ("url_canonicalize", _URL_CANON_ORACLE),
             ("outlinks", _OUTLINKS_ORACLE),
+            ("domain_stats", _DOMAIN_STATS_ORACLE),
+            ("domain_gate", _DOMAIN_GATE_ORACLE),
         ]),
         "sessionize": _SESSIONIZE_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,

@@ -115,3 +115,73 @@ def curate(
         ),
         counts,
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level curation: per-host aggregates + domain gate
+# ---------------------------------------------------------------------------
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    tokens_col: str = "n_tokens",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-domain corpus statistics — the RefinedWeb/C4-style signal that
+    gates whole hosts, not single documents: spam farms, SEO mirrors and
+    boilerplate-heavy domains show up as hosts whose per-document quality
+    keep-rate collapses.
+
+    One groupBy(host) — a single shuffle whose map-side partial
+    aggregation (Spark's HashAggregate) absorbs host skew: a host with
+    10^8 pages contributes one partial row per input partition, so the
+    reduce side never sees the raw skew. All aggregates are INTEGER
+    (counts and long sums); the only float, ``keep_frac``, is one
+    division of two exact longs rounded to 6 — so any SQL engine replays
+    the result bit-for-bit (no float-fold-order hazard).
+
+    Returns (host, n_docs, total_tokens, n_kept, keep_frac). At 10^12
+    docs the output is ~10^8 hosts — small enough to write as its own
+    table but NOT broadcastable; ``domain_gate`` therefore joins it back
+    by host equi-join, not broadcast.
+    """
+    from paddle_spark.functions import host_col
+
+    return (
+        df.groupBy(host_col(F.col(url_col)).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("total_tokens"),
+            F.sum(F.col(keep_col).cast("long")).alias("n_kept"),
+        )
+        .withColumn(
+            "keep_frac", F.round(F.col("n_kept") / F.col("n_docs"), 6)
+        )
+    )
+
+
+def domain_gate(
+    df: DataFrame,
+    stats: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_keep_frac: float = 0.0,
+) -> DataFrame:
+    """Drop every document whose host fails the domain-level bar
+    (too few observed docs, or keep-rate below ``min_keep_frac``).
+
+    A left-semi equi-join on host: the stats side is pre-aggregated (one
+    row per host) so the join is never skewed even when the docs side is
+    — Spark hashes the host key and the single stats row per host
+    broadcasts within each reduce task. Output schema == input schema.
+    """
+    from paddle_spark.functions import host_col
+
+    good = stats.filter(
+        (F.col("n_docs") >= min_docs) & (F.col("keep_frac") >= min_keep_frac)
+    ).select("host")
+    return (
+        df.withColumn("__host", host_col(F.col(url_col)))
+        .join(good.withColumnRenamed("host", "__host"), "__host", "left_semi")
+        .drop("__host")
+    )

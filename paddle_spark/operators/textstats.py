@@ -187,3 +187,79 @@ def repetition_features(
         frac(n_words - F.size(F.array_distinct(words)), n_words).alias("dup_word_frac"),
         frac(top_bigram_count, n_bigrams).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear quality classifier (fastText/CCNet-style scorer)
+# ---------------------------------------------------------------------------
+
+def hash_bucket_col(token: Column, n_buckets: int) -> Column:
+    """Stable cross-engine hashing-trick bucket: first 8 hex chars of
+    md5(token) as an unsigned int, mod n_buckets. md5 (not murmur) so a
+    SQL oracle replays the identical bucketing (same trick as
+    sampling.hash_sample)."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    weights: list | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear bag-of-words quality classifier over the hashing trick —
+    the CCNet/LLaMA-style fastText scorer that gates webtext corpora
+    (Wenzek et al. 2019): token -> hash bucket -> learned weight,
+    logit = bias + mean(token weights), prob = sigmoid(logit),
+    keep = prob >= threshold.
+
+    Entirely map-only Column ops (split -> transform -> aggregate over
+    the token array): no shuffle, no UDF, whole-stage codegen. A trained
+    model arrives as ``weights`` (len == n_buckets), carried as a plan
+    literal — fine to ~1e5 buckets; for 1e7-bucket vocabularies explode
+    tokens and broadcast-join a (bucket, weight) table instead (same
+    shape as safety.decontaminate). With ``weights=None`` a documented
+    deterministic surrogate w(b) = ((b % 197) - 98) / 98 stands in so
+    tests and the SQL oracle replay the identical model closed-form.
+
+    Returns (id, n_tokens, logit, prob, keep); empty docs score the bare
+    bias. Reference analog: per-document quality gate before dedup
+    (the funnel stage curate.curate exposes as min_quality).
+    """
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError(f"weights len {len(weights)} != n_buckets {n_buckets}")
+        warr = F.lit([float(x) for x in weights])
+        w_of = lambda b: F.element_at(warr, (b + 1).cast("int"))  # noqa: E731
+        zero, scale = F.lit(0.0), F.lit(1.0)
+    else:
+        # surrogate model: integer weights (b % 197) - 98, scaled by 1/98
+        # AFTER the (exact) integer sum — float-fold order can never
+        # perturb the result, so any SQL engine replays it bit-for-bit
+        w_of = lambda b: (b % 197) - 98  # noqa: E731
+        zero, scale = F.lit(0).cast("long"), F.lit(98.0)
+
+    ws = words_col(F.col(text_col))
+    n = F.size(ws)
+    wsum = F.aggregate(
+        F.transform(ws, lambda t: w_of(hash_bucket_col(t, n_buckets))),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    logit = F.when(n > 0, F.lit(float(bias)) + wsum / scale / n).otherwise(
+        F.lit(float(bias))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -112,3 +112,42 @@ def test_transitive_near_dedup_collapses_chains(spark):
     assert rows_out["u/b"] == ("u/a", False)
     assert rows_out["u/c"] == ("u/a", False)   # transitive: c joins via b
     assert rows_out["u/solo"] == ("u/solo", True)
+
+
+def test_domain_stats_and_gate(spark):
+    """Closed-form domain aggregates + gate semantics on three hosts:
+    integer aggregates, exact keep_frac, min_docs and min_keep_frac both
+    enforced, www./port/case-normalized host keying."""
+    from pyspark.sql import functions as F
+
+    from paddle_spark.operators.curate import domain_gate, domain_stats
+
+    rows = [
+        # good.com: 3 docs, 2 kept
+        (0, "https://good.com/a", 10, True),
+        (1, "https://WWW.Good.COM:443/b", 20, True),
+        (2, "https://good.com/c", 30, False),
+        # spam.net: 2 docs, 0 kept
+        (3, "http://spam.net/x", 5, False),
+        (4, "http://spam.net/y", 7, False),
+        # tiny.org: 1 doc, 1 kept (fails min_docs=2)
+        (5, "https://tiny.org/only", 9, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, n_tokens long, keep boolean"
+    )
+    stats = {r["host"]: r for r in domain_stats(df).collect()}
+    assert set(stats) == {"good.com", "spam.net", "tiny.org"}
+    g = stats["good.com"]
+    assert (g["n_docs"], g["total_tokens"], g["n_kept"]) == (3, 60, 2)
+    assert g["keep_frac"] == round(2 / 3, 6)
+    assert stats["spam.net"]["keep_frac"] == 0.0
+    assert stats["tiny.org"]["keep_frac"] == 1.0
+
+    kept = domain_gate(df, domain_stats(df), min_docs=2, min_keep_frac=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+    # schema passes through unchanged (no helper column leaks)
+    assert kept.columns == df.columns
+    # relaxed thresholds admit the singleton host
+    kept2 = domain_gate(df, domain_stats(df), min_docs=1, min_keep_frac=0.6)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [0, 1, 2, 5]

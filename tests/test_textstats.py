@@ -173,3 +173,49 @@ def test_bpe_token_count(spark):
             "select len(regexp_extract_all(?, ?))", params=[t, pat]
         ).fetchone()
         assert dn == n, (t, dn)
+
+
+def test_hashed_linear_score_surrogate_closed_form(spark):
+    """Surrogate model replays closed-form: hand-compute md5 buckets in
+    Python and check logit/prob/keep; empty docs score the bare bias."""
+    import hashlib
+    import math
+
+    from paddle_spark.operators.textstats import hashed_linear_score
+
+    rows = [(0, "the quick brown fox"), (1, ""), (2, "   "), (3, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+
+    for doc_id, text in rows:
+        ws = [w for w in text.split() if w]
+        wsum = sum((bucket(w) % 197) - 98 for w in ws)
+        logit = wsum / 98.0 / len(ws) if ws else 0.0
+        prob = 1.0 / (1.0 + math.exp(-logit))
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["logit"] == round(logit, 6), (doc_id, r["logit"], logit)
+        assert r["prob"] == round(prob, 6)
+        assert r["keep"] == (prob >= 0.5)
+
+
+def test_hashed_linear_score_trained_weights(spark):
+    """Explicit-weights path: all-positive weights keep everything,
+    all-negative drop everything; wrong length raises."""
+    import pytest
+
+    from paddle_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta")], "doc_id long, text string"
+    )
+    n = 64
+    up = hashed_linear_score(df, n_buckets=n, weights=[2.0] * n)
+    assert all(r["keep"] and r["logit"] == 2.0 for r in up.collect())
+    down = hashed_linear_score(df, n_buckets=n, weights=[-2.0] * n, bias=1.0)
+    assert all((not r["keep"]) and r["logit"] == -1.0 for r in down.collect())
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, n_buckets=8, weights=[0.0] * 9)
