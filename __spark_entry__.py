@@ -3115,14 +3115,77 @@ FROM docs WHERE host IN (SELECT host FROM good)
 """
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based host quality rank: pages -> outlink harvest -> host
+    edge list -> fixed-point integer PageRank (graph.host_rank, 5
+    iterations). The whole chain is deterministic long math, so the
+    oracle replays the identical unrolled iterations bit-for-bit."""
+    from paddle_spark.operators.graph import host_edges, host_rank
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.lit("https://site"), (k % 13).cast("string"),
+        F.lit(".example.com/p/"), k.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://site'),
+        ((k * 5 + 1) % 13).cast("string"),
+        F.lit('.example.com/a">l</a> <a href="https://site'),
+        ((k * 3 + 7) % 13).cast("string"),
+        F.lit('.example.com/b">l</a>'),
+    )
+    pages = c.select(url.alias("url"), html.alias("text"))
+    return host_rank(host_edges(pages), n_iter=5)
+
+
+def _host_rank_oracle(n_iter: int = 5) -> str:
+    """Unrolled fixed-point PageRank twin of graph.host_rank: DuckDB //
+    is floor division == Spark's `div` truncation on the non-negative
+    longs involved."""
+    prev, ctes = "r0", []
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT h.host,
+         CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank_u
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS host, CAST(sum(r.rank_u // o.outdeg) AS BIGINT) AS c
+    FROM e JOIN {prev} r ON e.src = r.host JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON h.host = s.host
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (c_custkey % 13) || '.example.com' AS src,
+         'site' || ((c_custkey * 5 + 1) % 13) || '.example.com' AS d1,
+         'site' || ((c_custkey * 3 + 7) % 13) || '.example.com' AS d2
+  FROM customer WHERE c_custkey < 2000
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, d1 AS dst FROM pages UNION ALL SELECT src, d2 FROM pages
+  ) WHERE dst != src
+),
+hosts AS (SELECT DISTINCT src AS host FROM e UNION SELECT DISTINCT dst FROM e),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_u FROM hosts),
+{chain}
+SELECT host, rank_u, round(rank_u / 1000000.0, 6) AS rank FROM {prev}
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL suite — canonicalization, outlink extraction, and the
-    domain-level curation pair (per-host stats + host gate)."""
+    """URL suite — canonicalization, outlink extraction, the
+    domain-level curation pair (per-host stats + host gate), and the
+    link-graph host rank."""
     return _suite_frame(spark, sf_dir, [
         ("url_canonicalize", q_url_canonicalize),
         ("outlinks", q_outlinks),
         ("domain_stats", q_domain_stats),
         ("domain_gate", q_domain_gate),
+        ("host_rank", q_host_rank),
     ])
 
 
@@ -3311,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
             ("outlinks", _OUTLINKS_ORACLE),
             ("domain_stats", _DOMAIN_STATS_ORACLE),
             ("domain_gate", _DOMAIN_GATE_ORACLE),
+            ("host_rank", _host_rank_oracle()),
         ]),
         "sessionize": _SESSIONIZE_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,

@@ -212,3 +212,18 @@ def test_cluster_pairs_round_plan_no_cartesian(spark):
     plan = plan_of(one_round)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_host_rank_iteration_no_cartesian(spark):
+    """Every host_rank iteration is hash-partitioned equi-joins + a
+    partial-aggregated groupBy — never BNLJ/cartesian, and the
+    contribution sum partial-aggregates map-side (host-skew absorber)."""
+    from paddle_spark.operators.graph import host_rank
+
+    edges = [(f"h{i % 11}", f"h{(i * 3 + 1) % 11}") for i in range(50)
+             if i % 11 != (i * 3 + 1) % 11]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plan = plan_of(host_rank(df, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "partial_" in plan
