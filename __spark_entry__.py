@@ -2996,6 +2996,77 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (k=8 tokens): two
+    boilerplate sentences planted across docs (doc_id % 4 / % 7) plus
+    whatever k-token windows naturally recur in the corpus text. The
+    oracle REPLAYS the whole rolling-hash algorithm in SQL (not a
+    closed-form), so the general semantics — window keys, global counts,
+    coverage union, reassembly — are what gets hash-checked."""
+    from paddle_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" please accept cookies to continue browsing this very website")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" copyright notice all content rights reserved worldwide forever")
+               ).otherwise(F.lit("")),
+    )
+    return span_dedup(d.select("doc_id", text.alias("text")), k=8)
+
+
+_SPAN_DEDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 4 = 0
+                THEN ' please accept cookies to continue browsing this very website'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' copyright notice all content rights reserved worldwide forever'
+                ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS ws
+  FROM d
+),
+wins AS (
+  SELECT doc_id, CAST(t.i AS INT) AS start,
+         md5(array_to_string(list_slice(ws, t.i + 1, t.i + 8), ' ')) AS wkey
+  FROM docs, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+),
+dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+starts AS (
+  SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+  FROM wins JOIN dup USING (wkey) GROUP BY doc_id
+),
+asm AS (
+  SELECT docs.doc_id, ws,
+         coalesce(starts.starts, CAST([] AS INT[])) AS sts
+  FROM docs LEFT JOIN starts USING (doc_id)
+),
+cov AS (
+  SELECT doc_id, ws, sts,
+         list_filter(range(0, len(ws)),
+                     j -> len(list_filter(sts, s -> s <= j AND j < s + 8)) = 0
+         ) AS kept
+  FROM asm
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(sts) AS BIGINT) AS n_dup_spans,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, j -> ws[j + 1]), ' '), '')
+         AS clean_text
+FROM cov
+"""
+
+
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-dedup suite: exact text dedup (D4, groupBy-rep), last-wins
     key collapse (J5, window rn=1), and paragraph-level boilerplate
@@ -3004,6 +3075,7 @@ def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dedup_exact", q_dedup_exact),
         ("dedup_lastwins", q_dedup_lastwins),
         ("paragraph_dedup", q_paragraph_dedup),
+        ("span_dedup", q_span_dedup),
     ])
 
 
@@ -3333,6 +3405,7 @@ def oracle_sql() -> dict[str, str]:
             ("dedup_exact", _DEDUP_EXACT_ORACLE),
             ("dedup_lastwins", _DEDUP_LASTWINS_ORACLE),
             ("paragraph_dedup", _PARAGRAPH_DEDUP_ORACLE),
+            ("span_dedup", _SPAN_DEDUP_ORACLE),
         ]),
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "ordered_concat": _ORDERED_CONCAT_ORACLE,

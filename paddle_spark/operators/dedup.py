@@ -504,3 +504,90 @@ def paragraph_dedup(
         F.sum(F.when(F.col("drop"), 0).otherwise(1)).cast("long").alias("n_paras_kept"),
         F.sum(F.when(F.col("drop"), 1).otherwise(0)).cast("long").alias("n_paras_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span removal (ExactSubstr-style, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every k-token span whose exact content occurs >= min_count
+    times corpus-wide — the token-granular ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021), re-expressed as rolling-window hashing instead of a
+    suffix array: same removal semantics for fixed k, but every stage is
+    a Spark-native shuffle (the suffix array is a single-machine
+    construction that cannot shard at 10^12 docs; windowed hashing is
+    embarrassingly parallel).
+
+    Plan shape at scale: transform+posexplode k-token windows ->
+    md5 window keys (window traffic = n_tokens rows/doc, 32-byte keys)
+    -> one hash-agg shuffle counting occurrences (map-side partial agg)
+    -> join flagged keys back (only duplicated spans travel) -> one
+    groupBy(doc) re-assembly. Removal keeps tokens covered by NO
+    duplicated window; overlapping spans union naturally through the
+    coverage test. All pure Column ops (higher-order functions) — the
+    exists() coverage check is O(tokens x flagged-spans-in-doc) per doc,
+    fine because flagged spans per doc are few; docs that are pure
+    boilerplate degrade to an empty clean_text, which downstream length
+    gates drop.
+
+    Returns (id, n_tokens, n_dup_spans, n_removed, clean_text) where
+    clean_text is the surviving tokens joined by single spaces
+    (tokenization is whitespace-normalizing by design, same contract as
+    words_col).
+    """
+    id_, ws = F.col(id_col), words_col(F.col(text_col))
+    docs = df.select(id_.alias("id"), ws.alias("ws"))
+    n = F.size("ws")
+
+    wkeys = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+    )
+    wins = docs.filter(n >= k).select(
+        "id", F.posexplode(wkeys).alias("start", "wkey")
+    )
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wkey")
+    )
+    starts = (
+        wins.join(dup_keys, "wkey")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("start")).alias("starts"))
+    )
+
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("starts"), lambda s: (s <= j) & (j < s + k)
+    )
+    kept = F.filter(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda j: ~covered(j),
+    )
+    return (
+        docs.join(starts, "id", "left")
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.size("starts").cast("long").alias("n_dup_spans"),
+            (n - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda j: F.element_at("ws", j + 1)), " "
+            ).alias("clean_text"),
+        )
+    )

@@ -202,3 +202,75 @@ class TestParagraphDedup:
         )
         got = {r.doc_id: r.clean_text for r in paragraph_dedup(df).collect()}
         assert got[0] == "x\n\nx\n\ny"
+
+
+class TestSpanDedup:
+    """ExactSubstr-style duplicated-span removal (dedup.span_dedup)."""
+
+    def _run(self, spark, rows, k=4, min_count=2):
+        from paddle_spark.operators.dedup import span_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r for r in span_dedup(df, k=k, min_count=min_count).collect()
+        }
+
+    def test_cross_doc_span_removed_once_unique_survives(self, spark):
+        boiler = "all rights reserved worldwide"
+        rows = [
+            (0, f"alpha beta gamma {boiler} delta"),
+            (1, f"epsilon zeta {boiler} eta theta"),
+            (2, "totally unique content here nothing shared"),
+        ]
+        got = self._run(spark, rows, k=4)
+        assert got[0]["clean_text"] == "alpha beta gamma delta"
+        assert got[1]["clean_text"] == "epsilon zeta eta theta"
+        assert got[2]["clean_text"] == rows[2][1]
+        assert got[2]["n_dup_spans"] == 0 and got[2]["n_removed"] == 0
+        # each doc had exactly one duplicated 4-window, 4 tokens removed
+        assert got[0]["n_dup_spans"] == 1 and got[0]["n_removed"] == 4
+
+    def test_overlapping_spans_union(self, spark):
+        # 5-token shared run -> two overlapping 4-windows union to 5 tokens
+        shared = "one two three four five"
+        rows = [(0, f"x {shared} y"), (1, f"p q {shared}")]
+        got = self._run(spark, rows, k=4)
+        assert got[0]["clean_text"] == "x y"
+        assert got[0]["n_dup_spans"] == 2 and got[0]["n_removed"] == 5
+        assert got[1]["clean_text"] == "p q"
+
+    def test_within_doc_repeat_counts(self, spark):
+        # same 4-gram twice INSIDE one doc: corpus-wide count 2 -> removed
+        rows = [(0, "a b c d junk a b c d"), (1, "unrelated words entirely here")]
+        got = self._run(spark, rows, k=4)
+        assert got[0]["clean_text"] == "junk"
+        assert got[1]["n_removed"] == 0
+
+    def test_short_docs_pass_through(self, spark):
+        rows = [(0, "one two three"), (1, "one two three"), (2, "")]
+        got = self._run(spark, rows, k=4)  # shorter than k: no windows
+        for i in (0, 1):
+            assert got[i]["clean_text"] == "one two three"
+            assert got[i]["n_dup_spans"] == 0
+        assert got[2]["clean_text"] == "" and got[2]["n_tokens"] == 0
+
+    def test_min_count_threshold(self, spark):
+        shared = "w x y z"
+        rows = [(0, f"a {shared}"), (1, f"b {shared}"), (2, f"c {shared}")]
+        # min_count=4: three occurrences survive
+        got = self._run(spark, rows, k=4, min_count=4)
+        assert all(got[i]["n_removed"] == 0 for i in range(3))
+        got = self._run(spark, rows, k=4, min_count=3)
+        assert all(got[i]["clean_text"].split() == [c] for i, c in
+                   zip(range(3), ["a", "b", "c"]))
+
+    def test_partitioning_invariant(self, spark):
+        from paddle_spark.operators.dedup import span_dedup
+
+        rows = [(i, f"tok{i % 5} common run of words here tail{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"]: r["clean_text"]
+             for r in span_dedup(df.coalesce(1), k=4).collect()}
+        b = {r["doc_id"]: r["clean_text"]
+             for r in span_dedup(df.repartition(16), k=4).collect()}
+        assert a == b
