@@ -3248,16 +3248,70 @@ SELECT host, rank_u, round(rank_u / 1000000.0, 6) AS rank FROM {prev}
 """
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate end-to-end: per-host robots bodies
+    (with comments, an Allow carve-out under a Disallow prefix, and a
+    specific-agent group that must NOT apply to '*') parse through the
+    window-function parser, then gate a URL frame — longest-match /
+    tie-break / default-allow semantics land as a closed-form oracle."""
+    from paddle_spark.operators.robots import robots_gate, robots_rules
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 7)
+    h = F.col("n_nationkey")
+    body = F.concat(
+        F.lit("# corpus politeness\nUser-agent: *\nDisallow: /p"),
+        h.cast("string"),
+        F.lit("\nAllow: /p"),
+        h.cast("string"),
+        F.lit("/ok\n\nUser-agent: strictbot\nDisallow: /\n"),
+    )
+    robots = n.select(
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    rules = robots_rules(robots)
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    k = F.col("c_custkey")
+    path = (
+        F.when(k % 3 == 0, F.concat(F.lit("/p"), (k % 7).cast("string"),
+                                    F.lit("/x"), k.cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("/p"), (k % 7).cast("string"),
+                                   F.lit("/ok/x"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/q/x"), k.cast("string")))
+    )
+    urls = c.select(
+        F.concat(F.lit("https://site"), (k % 7).cast("string"),
+                 F.lit(".example.com"), path).alias("url"),
+    )
+    gated = robots_gate(urls, rules, agent="*")
+    # boolean -> 0/1 long: null-padded union suites can't carry booleans
+    return gated.select("url", F.col("allowed").cast("long").alias("allowed"))
+
+
+_ROBOTS_GATE_ORACLE = """
+SELECT 'https://site' || (c_custkey % 7) || '.example.com' ||
+       CASE WHEN c_custkey % 3 = 0
+              THEN '/p' || (c_custkey % 7) || '/x' || c_custkey
+            WHEN c_custkey % 3 = 1
+              THEN '/p' || (c_custkey % 7) || '/ok/x' || c_custkey
+            ELSE '/q/x' || c_custkey END AS url,
+       CAST(CASE WHEN c_custkey % 3 != 0 THEN 1 ELSE 0 END AS BIGINT) AS allowed
+FROM customer WHERE c_custkey < 2000
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL suite — canonicalization, outlink extraction, the
-    domain-level curation pair (per-host stats + host gate), and the
-    link-graph host rank."""
+    domain-level curation pair (per-host stats + host gate), the
+    link-graph host rank, and the robots.txt politeness gate."""
     return _suite_frame(spark, sf_dir, [
         ("url_canonicalize", q_url_canonicalize),
         ("outlinks", q_outlinks),
         ("domain_stats", q_domain_stats),
         ("domain_gate", q_domain_gate),
         ("host_rank", q_host_rank),
+        ("robots_gate", q_robots_gate),
     ])
 
 
@@ -3448,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
             ("domain_stats", _DOMAIN_STATS_ORACLE),
             ("domain_gate", _DOMAIN_GATE_ORACLE),
             ("host_rank", _host_rank_oracle()),
+            ("robots_gate", _ROBOTS_GATE_ORACLE),
         ]),
         "sessionize": _SESSIONIZE_ORACLE,
         "time_buckets": _TIME_BUCKETS_ORACLE,
