@@ -1218,6 +1218,19 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal suite over the events table — order-sensitive concat
+    (A2: string_agg ORDER BY), gap-based sessionization (lag + running
+    sum), and tumbling 1h windows (X11, the batch twin of
+    streaming.batch_windowed_agg). One null-padded union frame; each
+    branch keeps its own exact oracle."""
+    return _suite_frame(spark, sf_dir, [
+        ("ordered_concat", q_ordered_concat),
+        ("sessionize", q_sessionize),
+        ("time_buckets", q_time_buckets),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -3410,9 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         # --- aggregations (job_counters suite above carries
         #     counter_aggregates + status_aggregation) ---
-        "ordered_concat": q_ordered_concat,
-        "sessionize": q_sessionize,
-        "time_buckets": q_time_buckets,
+        "temporal_suite": q_temporal_suite,
     }
 
 
@@ -3462,7 +3473,11 @@ def oracle_sql() -> dict[str, str]:
             ("span_dedup", _SPAN_DEDUP_ORACLE),
         ]),
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
-        "ordered_concat": _ORDERED_CONCAT_ORACLE,
+        "temporal_suite": _suite_oracle([
+            ("ordered_concat", _ORDERED_CONCAT_ORACLE),
+            ("sessionize", _SESSIONIZE_ORACLE),
+            ("time_buckets", _TIME_BUCKETS_ORACLE),
+        ]),
         "job_counters": _suite_oracle([
             ("counter_aggregates", _COUNTER_ORACLE),
             ("status_aggregation", _STATUS_AGG_ORACLE),
@@ -3504,8 +3519,6 @@ def oracle_sql() -> dict[str, str]:
             ("host_rank", _host_rank_oracle()),
             ("robots_gate", _ROBOTS_GATE_ORACLE),
         ]),
-        "sessionize": _SESSIONIZE_ORACLE,
-        "time_buckets": _TIME_BUCKETS_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_embedding": _suite_oracle([
             ("embedding_cosine", _EMB_NEAR_DUP_ORACLE),

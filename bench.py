@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk",
     "text_stats",      # tokens + quality + fingerprint (consolidated)
+    "span_dedup",      # ExactSubstr rolling-hash span removal (round-5)
+    "host_rank",       # fixed-point PageRank over outlink graph (round-5)
     "extract_real_pdf",  # real PDF parser chain, exact-oracled
     "extract_scanned",   # pixels -> boxes -> text (round-4 branch)
     "extract_orientation",  # 0/90/180/270 classify + OCR (round-5)
