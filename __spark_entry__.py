@@ -1194,6 +1194,124 @@ FROM part
 """
 
 
+def _sql_chr(s: str) -> str:
+    """DuckDB expression for an arbitrary Python string: safe-ASCII runs
+    stay quoted literals, everything else becomes chr(codepoint) — so
+    control characters and unicode noise never appear raw in oracle SQL."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if " " <= ch <= "~" and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
+#: Unicode-noise recipes planted onto documents.text by doc_id % 5:
+#: (prefix, suffix) pairs covering NBSP/ZWSP, BOM + C0 controls,
+#: soft hyphen + em/narrow spaces, tab runs, and a no-noise control.
+_NOISE = [
+    ("\u00a0caf\u00e9\u200b ", " e\u0301clair\u3000fin"),
+    ("\ufeff", " x\u0007y\u001bz"),
+    ("na\u00efve\u00ad ", " \u2003wide\u202f"),
+    ("", "\tcol \t umns\t"),
+    ("", ""),
+]
+
+
+def _noisy_text_col() -> Column:
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    expr = F.col("text")
+    out = None
+    for i, (pre, suf) in enumerate(_NOISE):
+        branch = F.concat(F.lit(pre), expr, F.lit(suf))
+        out = F.when(m == i, branch) if out is None else out.when(m == i, branch)
+    return out.otherwise(expr)
+
+
+def _noisy_text_sql() -> str:
+    cases = []
+    for i, (pre, suf) in enumerate(_NOISE):
+        piece = " || ".join(
+            p for p in (_sql_chr(pre) if pre else "", "text", _sql_chr(suf) if suf else "")
+            if p
+        )
+        cases.append(f"WHEN doc_id % 5 = {i} THEN {piece}")
+    return "CASE " + " ".join(cases) + " ELSE text END"
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (operators/normalize.py): documents
+    text with deterministically planted unicode noise (NBSP/ZWSP/BOM/
+    controls/soft-hyphen/wide-space recipes keyed by doc_id % 5) ->
+    hygiene chain + NFC clean_text, codepoints-removed counter, and the
+    CCNet-style hash-normalization key. The NFC / accent-strip arms are
+    Arrow-batched pandas UDFs; DuckDB's nfc_normalize / strip_accents
+    are the oracle twins, sharing one \\x{...} pattern string with the
+    Spark side so the twin cannot drift."""
+    from paddle_spark.operators import normalize as N
+
+    d = _t(spark, sf_dir, "documents")
+    noisy = _noisy_text_col()
+    nd = d.select("doc_id", noisy.alias("text"))
+    cleaned = N.nfc_col(N.clean_text_col(F.col("text")))
+    return nd.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("n_removed"),
+        N.norm_key_col(F.col("text")).alias("norm_key"),
+    )
+
+
+def _text_clean_oracle() -> str:
+    from paddle_spark.operators import normalize as N
+
+    noisy = _noisy_text_sql()
+    clean = f"nfc_normalize({N.clean_text_sql('text')})"
+    key = N.hash_key_normalize_sql("text")
+    return f"""
+WITH nd AS (SELECT doc_id, {noisy} AS text FROM documents)
+SELECT doc_id,
+       {clean} AS clean_text,
+       CAST(length(text) - length({clean}) AS BIGINT) AS n_removed,
+       {key} AS norm_key
+FROM nd
+"""
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus membership (operators/bloom.py): build the
+    bitset over the even-doc_id half of documents, probe ALL documents
+    with k broadcast word-joins (map-only), and report membership. The
+    fixture's (n, m, k) puts the expected false-positive count below
+    10^-2 across the corpus, so bloom membership equals the exact
+    semi-join — which is the oracle. FP behavior itself is pinned by
+    tests/test_bloom.py on adversarial corpora."""
+    from paddle_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(corpus, "text")
+    return bloom_probe(d, bloom, "text").select(
+        "doc_id", F.col("in_bloom").cast("int").alias("in_corpus")
+    )
+
+
+_BLOOM_MEMBERSHIP_ORACLE = """
+SELECT b.doc_id,
+       CAST(CASE WHEN a.text IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_corpus
+FROM documents b
+LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) a
+  ON a.text = b.text
+"""
+
+
 def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11 + streaming twin: tumbling 1h windows (the batch form of
     paddle_spark.streaming.batch_windowed_agg — identical results)."""
@@ -3082,13 +3200,15 @@ FROM cov
 
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-dedup suite: exact text dedup (D4, groupBy-rep), last-wins
-    key collapse (J5, window rn=1), and paragraph-level boilerplate
-    removal (CCNet/Dolma-style)."""
+    key collapse (J5, window rn=1), paragraph-level boilerplate
+    removal (CCNet/Dolma-style), ExactSubstr span dedup, and
+    Bloom-filter corpus membership (incremental-crawl gate)."""
     return _suite_frame(spark, sf_dir, [
         ("dedup_exact", q_dedup_exact),
         ("dedup_lastwins", q_dedup_lastwins),
         ("paragraph_dedup", q_paragraph_dedup),
         ("span_dedup", q_span_dedup),
+        ("bloom_membership", q_bloom_membership),
     ])
 
 
@@ -3104,14 +3224,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/scalar kernel suite — regex extraction, bbox-key
-    normalization (X3), data-URI strip (X6), base64 round-trip (X1), and
-    the HTML strip chain (X4)."""
+    normalization (X3), data-URI strip (X6), base64 round-trip (X1),
+    the HTML strip chain (X4), and unicode text normalization
+    (hygiene chain + NFC + CCNet hash key, operators/normalize.py)."""
     return _suite_frame(spark, sf_dir, [
         ("regex_extract", q_regex_extract),
         ("key_normalize", q_key_normalize),
         ("data_uri_strip", q_data_uri_strip),
         ("b64_roundtrip", q_b64_roundtrip),
         ("html_strip", q_html_strip),
+        ("text_clean", q_text_clean),
     ])
 
 
@@ -3471,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
             ("dedup_lastwins", _DEDUP_LASTWINS_ORACLE),
             ("paragraph_dedup", _PARAGRAPH_DEDUP_ORACLE),
             ("span_dedup", _SPAN_DEDUP_ORACLE),
+            ("bloom_membership", _BLOOM_MEMBERSHIP_ORACLE),
         ]),
         "caption_enrich": _CAPTION_ENRICH_ORACLE,
         "temporal_suite": _suite_oracle([
@@ -3510,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
             ("data_uri_strip", _DATA_URI_ORACLE),
             ("b64_roundtrip", _B64_ORACLE),
             ("html_strip", _HTML_STRIP_ORACLE),
+            ("text_clean", _text_clean_oracle()),
         ]),
         "url_kernels": _suite_oracle([
             ("url_canonicalize", _URL_CANON_ORACLE),
