@@ -51,6 +51,9 @@ def delta_extract(
     extracted_prev: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
+    bloom_prefilter: bool = False,
+    bloom_m_bits: int = 1 << 22,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Extraction output for the NEW snapshot, re-running kernels only on
     changed/new payloads. Disappeared urls drop out (the output always
@@ -68,23 +71,55 @@ def delta_extract(
     WET snapshots: pass ``cfg`` with ``wet_passthrough=True`` (the same
     cfg the previous output was extracted with) — the change key then
     mirrors the WET lineage hash, so unchanged conversion rows carry
-    forward instead of re-extracting every run."""
+    forward instead of re-extracting every run.
+
+    ``bloom_prefilter=True`` inserts a Bloom bitset (operators/bloom.py)
+    over prev's composite key before the exact joins: snapshot rows the
+    bitset rejects are DEFINITELY new (no false negatives) and skip the
+    anti-join entirely; only the bitset's accepts — mostly-unchanged rows
+    plus a tunable false-positive residue — reach the exact joins. At
+    crawl scale the map-side split removes the changed/new portion of
+    the snapshot from the big shuffle; the result is identical to the
+    plain path row-for-row (pinned by test_delta). Size ``bloom_m_bits``
+    at ~10 bits per prev key for ~1% FP at k=5."""
     new_keyed = pages_new.withColumn(
         "payload_xxh", payload_key_col(pages_new, cfg.wet_passthrough)
     ).dropDuplicates(_KEY)
     prev_cols = [c for c in extracted_prev.columns if c != "run_id"]
     prev = extracted_prev.select(*prev_cols).dropDuplicates(_KEY)
 
+    definitely_new = None
+    if bloom_prefilter:
+        from paddle_spark.operators.bloom import bloom_build, bloom_probe
+
+        ck = F.xxhash64("url", "payload_xxh")
+        bloom = bloom_build(
+            prev.select(ck.alias("_delta_bk")), "_delta_bk", bloom_m_bits, bloom_k
+        )
+        probed = bloom_probe(
+            new_keyed.withColumn("_delta_bk", ck),
+            bloom,
+            "_delta_bk",
+            bloom_m_bits,
+            bloom_k,
+        )
+        definitely_new = (
+            probed.filter(~F.col("in_bloom")).drop("_delta_bk", "in_bloom")
+        )
+        new_keyed = probed.filter(F.col("in_bloom")).drop("_delta_bk", "in_bloom")
+
     # unchanged: previous rows whose (url, hash) still exists in the new
-    # snapshot — a semi-join keeps exactly those
+    # snapshot — a semi-join keeps exactly those. (With the prefilter,
+    # definitely-new rows can't match prev, so restricting the semi-join's
+    # right side to the bitset accepts changes nothing.)
     carried = prev.join(
         new_keyed.select(*_KEY), _KEY, "left_semi"
     )
     # changed/new: snapshot rows with no matching previous output
-    todo = new_keyed.join(prev.select(*_KEY), _KEY, "left_anti").drop(
-        "payload_xxh"
-    )
-    fresh = extract_pages(todo, cfg, n_partitions)
+    todo = new_keyed.join(prev.select(*_KEY), _KEY, "left_anti")
+    if definitely_new is not None:
+        todo = todo.unionByName(definitely_new)
+    fresh = extract_pages(todo.drop("payload_xxh"), cfg, n_partitions)
     return carried.unionByName(fresh)
 
 
