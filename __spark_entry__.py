@@ -2021,11 +2021,43 @@ SELECT id, shard, seq_no, n_tokens FROM p
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing at alpha=0.5 over the documents
+    source strata: rate_s = sqrt(n_max/n_s) clamped to 1, then the same
+    deterministic md5-bucket keep rule as hash_sample. sqrt/floor on
+    exact integer counts are correctly-rounded IEEE in both engines, so
+    the DuckDB twin replays the rates bit-identically."""
+    from paddle_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id"))
+    src = d.select("doc_id", "source", key.alias("skey"))
+    return temperature_sample(src, "source", "skey", alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
+_TEMPERATURE_SAMPLE_ORACLE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+     m AS (SELECT max(n) AS nm FROM c),
+     r AS (SELECT source,
+                  least(10000, CAST(floor(10000 * (sqrt(CAST(nm AS DOUBLE)) /
+                        sqrt(CAST(n AS DOUBLE)))) AS BIGINT)) AS rate_bp
+           FROM c, m)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.source || '/' || d.doc_id), 1, 8))::UBIGINT % 10000
+      < r.rate_bp
+"""
+
+
 def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-mixing suite: deterministic stratified hash sampling +
-    greedy sequence packing (operators/sampling.py), unioned by name."""
+    """Corpus-mixing suite: deterministic stratified hash sampling,
+    temperature rebalancing (alpha=0.5), and greedy sequence packing
+    (operators/sampling.py), unioned by name."""
     return _suite_frame(spark, sf_dir, [
         ("hash_sample", q_hash_sample),
+        ("temperature_sample", q_temperature_sample),
         ("pack_sequences", q_pack_sequences),
     ])
 
@@ -3611,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
         ]),
         "corpus_sampling": _suite_oracle([
             ("hash_sample", _HASH_SAMPLE_ORACLE),
+            ("temperature_sample", _TEMPERATURE_SAMPLE_ORACLE),
             ("pack_sequences", _PACK_SEQUENCES_ORACLE),
         ]),
         "relational_core": _suite_oracle([

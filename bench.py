@@ -259,6 +259,7 @@ def main() -> None:
         "computed_key_join": 0.47, "ordered_concat": 0.43,
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.46,
         "dedup_minhash_lsh": 1.08, "ann_topk": 0.44, "text_stats": 0.59,
+        "span_dedup": 0.71, "host_rank": 1.68,
         "extract_real_pdf": 0.63, "extract_scanned": 0.66,
         "extract_orientation": 0.72, "extract_tables": 0.42,
     }

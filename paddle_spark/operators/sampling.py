@@ -108,3 +108,57 @@ def pack_sequences(
         return pdf[["id", "shard", "seq_no", "n_tokens"]]
 
     return src.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep-rates (basis points) for temperature-based
+    corpus mixing: rate_s = (n_max / n_s)^(1-alpha) clamped to 1 —
+    the standard multilingual/LM rebalancing (alpha=1 keeps natural
+    proportions, alpha=0 equalizes strata). Referenced against the
+    LARGEST stratum instead of the sum so the math is two correctly-
+    rounded IEEE ops on exact integer counts (no order-dependent
+    double summation) — bit-identical across engines, which is what
+    lets the DuckDB oracle replay it exactly at alpha=0.5 (sqrt).
+
+    One small aggregate (map-side combined) -> #strata rows.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    n_max = counts.agg(F.max("_n").alias("_nm"))
+    if alpha == 0.5:
+        ratio = F.sqrt(F.col("_nm").cast("double")) / F.sqrt(
+            F.col("_n").cast("double")
+        )
+    else:
+        ratio = F.pow(F.col("_nm") / F.col("_n"), F.lit(1.0 - alpha))
+    rate_bp = F.least(
+        F.lit(SAMPLE_BUCKETS).cast("long"),
+        F.floor(F.lit(SAMPLE_BUCKETS) * ratio),
+    )
+    return counts.crossJoin(F.broadcast(n_max)).select(
+        stratum_col,
+        F.col("_n").cast("long").alias("n_docs"),
+        rate_bp.alias("rate_bp"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature sampling: keep a row iff its md5 bucket
+    falls under its stratum's temperature rate. Plan shape: one tiny
+    aggregate, broadcast the #strata rate rows back, map-side filter —
+    the corpus itself is never shuffled."""
+    rates = temperature_rates(df, stratum_col, alpha)
+    bucket = hash_bucket_col(F.col(key_col))
+    return (
+        df.join(F.broadcast(rates.select(stratum_col, "rate_bp")), stratum_col)
+        .filter(bucket < F.col("rate_bp"))
+        .drop("rate_bp")
+    )

@@ -129,3 +129,81 @@ class TestPlans:
         # the scan must not read the text column into the Python worker:
         # token counting happened JVM-side before the exchange
         assert "pack(id" in plan and "text" not in plan.split("Exchange")[0].split("Scan")[0]
+
+
+class TestTemperatureSample:
+    def _src(self, documents):
+        return documents.select(
+            "doc_id", "source",
+            F.concat(F.col("source"), F.lit("/"), F.col("doc_id")).alias("skey"),
+        )
+
+    def test_rates_formula_exact(self, spark, documents):
+        import math
+
+        from paddle_spark.operators.sampling import temperature_rates
+
+        counts = {
+            r["source"]: r["cnt"]
+            for r in documents.groupBy("source").agg(
+                F.count("*").alias("cnt")
+            ).collect()
+        }
+        nm = max(counts.values())
+        rates = {
+            r["source"]: r["rate_bp"]
+            for r in temperature_rates(documents, "source").collect()
+        }
+        for s, n in counts.items():
+            want = min(10000, math.floor(10000 * (math.sqrt(nm) / math.sqrt(n))))
+            assert rates[s] == want, s
+
+    def test_largest_stratum_keeps_everything(self, spark, documents):
+        from paddle_spark.operators.sampling import temperature_rates
+
+        rates = temperature_rates(documents, "source").collect()
+        nm = max(r["n_docs"] for r in rates)
+        for r in rates:
+            if r["n_docs"] == nm:
+                assert r["rate_bp"] == 10000
+
+    def test_deterministic_across_partitionings(self, spark, documents):
+        from paddle_spark.operators.sampling import temperature_sample
+
+        a = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                self._src(documents), "source", "skey"
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                self._src(documents).repartition(17), "source", "skey"
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_rebalances_toward_small_strata(self, spark, documents):
+        """After sampling, small strata keep ~everything while the
+        largest is downsampled toward sqrt proportions."""
+        from paddle_spark.operators.sampling import temperature_sample
+
+        before = {
+            r["source"]: r["cnt"]
+            for r in documents.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+        }
+        after = {
+            r["source"]: r["cnt"]
+            for r in temperature_sample(self._src(documents), "source", "skey")
+            .groupBy("source").agg(F.count("*").alias("cnt")).collect()
+        }
+        nm = max(before.values())
+        for s, n in before.items():
+            if n == nm:
+                continue
+            # expected keep fraction sqrt(nm/n)/ (nm/n) >= observed-ish;
+            # exact check: kept fraction matches rate within bucket noise
+            import math
+            rate = min(1.0, math.sqrt(nm / n))
+            assert abs(after.get(s, 0) / n - rate) < 0.15, s
