@@ -55,3 +55,96 @@ def export_text(
         w.json(path)
     else:
         w.parquet(path)
+
+
+WET_MANIFEST_SCHEMA = "file string, n_records long, n_bytes long"
+
+
+def export_wet(
+    extracted: DataFrame,
+    out_dir: str,
+    software: str = "paddle_spark",
+) -> DataFrame:
+    """WET sink: write the extracted corpus as Common-Crawl-style WET
+    archives (WARC/1.0 ``conversion`` records, one gzip member per
+    record, one ``part-N.warc.wet.gz`` file per partition) — the
+    interchange format the ingest side (sources/warc.py) already
+    streams, so a written corpus round-trips through our own reader
+    byte-for-byte (pinned by test_export_fetch).
+
+    Returns a lazy manifest DataFrame (file, n_records, n_bytes); the
+    caller triggers the write by acting on it. Each task writes only
+    its own partition's file into ``out_dir`` (shared filesystem on a
+    real cluster, same contract as every Spark file sink); record IDs
+    are deterministic (sha256 of url + date), so reruns produce
+    identical archives.
+    """
+    import gzip
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = extracted.select(
+        "url",
+        F.date_format(
+            F.coalesce(F.col("warc_ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("wdate"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.spark_partition_id().alias("pid"),
+    )
+
+    def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
+        )
+        return head + b"\r\n" + body + b"\r\n\r\n"
+
+    def write_parts(batches):
+        # one open file per partition; batches of one partition arrive
+        # in one task, so state here is a single file handle
+        fh = None
+        fname = None
+        n_rec = 0
+        for pdf in batches:
+            for url, wdate, text in zip(pdf["url"], pdf["wdate"], pdf["text"]):
+                if fh is None:
+                    pid = int(pdf["pid"].iloc[0])
+                    fname = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(fname, "wb")
+                    info = _record(
+                        [
+                            ("WARC-Type", "warcinfo"),
+                            ("WARC-Date", str(wdate)),
+                            ("Content-Type", "application/warc-fields"),
+                            ("Content-Length", str(len(software) + 10)),
+                        ],
+                        f"software: {software}".encode("utf-8"),
+                    )
+                    fh.write(gzip.compress(info, mtime=0))
+                body = str(text).encode("utf-8")
+                rid = hashlib.sha256(f"{url}\x00{wdate}".encode()).hexdigest()
+                rec = _record(
+                    [
+                        ("WARC-Type", "conversion"),
+                        ("WARC-Target-URI", str(url)),
+                        ("WARC-Date", str(wdate)),
+                        ("WARC-Record-ID", f"<urn:sha256:{rid}>"),
+                        ("Content-Type", "text/plain"),
+                        ("Content-Length", str(len(body))),
+                    ],
+                    body,
+                )
+                fh.write(gzip.compress(rec, mtime=0))
+                n_rec += 1
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame(
+                [(fname, n_rec, os.path.getsize(fname))],
+                columns=["file", "n_records", "n_bytes"],
+            )
+
+    return src.mapInPandas(write_parts, schema=WET_MANIFEST_SCHEMA)
