@@ -3468,10 +3468,50 @@ FROM customer WHERE c_custkey < 2000
 """
 
 
+def q_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index rows over a closed-form synthetic corpus: SURT key
+    (host labels reversed + www/port/scheme stripped, params sorted,
+    fragment dropped — functions.surt_key_col), 14-digit capture
+    timestamp, url, byte length (operators/export.cdx_index; the
+    digest column is xxhash64-based and oracled by pytest instead).
+    The globally-sorted range-partitioned shard write is pinned by
+    tests/test_cdx.py."""
+    from paddle_spark.operators.export import cdx_index
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    pages = o.select(
+        F.concat(
+            F.lit("HTTPS://WWW.Archive"),
+            (F.col("o_orderkey") % 9).cast("string"),
+            F.lit(".Example.COM:443/Item/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("?z=9&a="),
+            (F.col("o_orderkey") % 4).cast("string"),
+            F.lit("#sec"),
+        ).alias("url"),
+        F.col("o_orderdate").cast("timestamp").alias("warc_ts"),
+        F.concat(F.lit("doc "), F.col("o_orderkey").cast("string")).alias("text"),
+    )
+    return cdx_index(pages).select("surt", "ts14", "url", "n_bytes")
+
+
+_SURT_CDX_ORACLE = """
+SELECT
+  'com,example,archive' || (o_orderkey % 9) || ')/item/' || o_orderkey
+    || '?a=' || (o_orderkey % 4) || '&z=9' AS surt,
+  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d%H%M%S') AS ts14,
+  'HTTPS://WWW.Archive' || (o_orderkey % 9) || '.Example.COM:443/Item/' ||
+    o_orderkey || '?z=9&a=' || (o_orderkey % 4) || '#sec' AS url,
+  CAST(strlen('doc ' || o_orderkey) AS INT) AS n_bytes
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL suite — canonicalization, outlink extraction, the
     domain-level curation pair (per-host stats + host gate), the
-    link-graph host rank, and the robots.txt politeness gate."""
+    link-graph host rank, the robots.txt politeness gate, and the
+    SURT/CDX web-archive index kernel."""
     return _suite_frame(spark, sf_dir, [
         ("url_canonicalize", q_url_canonicalize),
         ("outlinks", q_outlinks),
@@ -3479,6 +3519,7 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("domain_gate", q_domain_gate),
         ("host_rank", q_host_rank),
         ("robots_gate", q_robots_gate),
+        ("surt_cdx", q_surt_cdx),
     ])
 
 
@@ -3675,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
             ("domain_gate", _DOMAIN_GATE_ORACLE),
             ("host_rank", _host_rank_oracle()),
             ("robots_gate", _ROBOTS_GATE_ORACLE),
+            ("surt_cdx", _SURT_CDX_ORACLE),
         ]),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_embedding": _suite_oracle([

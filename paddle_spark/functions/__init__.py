@@ -195,6 +195,40 @@ def host_col(url: Column) -> Column:
     return F.regexp_replace(h, r"^www\.", "")
 
 
+def surt_key_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    sort key of web-archive CDX indexes: ``com,example)/path?a=1&b=2``.
+    Host labels reverse so one registrable domain's pages are one
+    contiguous key range (prefix scans / range partitions align with
+    domains — the property the whole CDX format exists for).
+
+    Deterministic subset, all JVM-side Column ops (mirrors the standard
+    wayback canonicalizer): http(s) absolute URLs only (others -> NULL);
+    host lowercased, ``www.`` and port stripped, labels reversed and
+    comma-joined; path+query lowercased; fragment dropped; query params
+    sorted bytewise; empty path becomes ``/``. Userinfo and %-escape
+    normalization are out of scope (documented).
+    """
+    host = host_col(url)
+    hostkey = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    after = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(after, r"^([^/?#]*)", 1)
+    rest = F.lower(
+        F.substring(after, F.length(authority) + 1, F.lit(1 << 20)).cast("string")
+    )
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.concat(
+        hostkey,
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+    )
+    return F.when(url.rlike(r"^(?i)https?://"), key).otherwise(F.lit(None))
+
+
 def outlinks_col(html_str: Column) -> Column:
     """Absolute http(s) outlinks from <a href=...> tags — the crawl-graph
     primitive (outlink tables feed frontier expansion / link-based quality

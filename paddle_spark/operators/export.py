@@ -148,3 +148,66 @@ def export_wet(
             )
 
     return src.mapInPandas(write_parts, schema=WET_MANIFEST_SCHEMA)
+
+
+def cdx_index(extracted: DataFrame) -> DataFrame:
+    """CDX(J)-style index rows over the extracted corpus — the lookup
+    artifact that makes a web archive addressable: per document the SURT
+    sort key, a 14-digit capture timestamp, the original url, a content
+    digest and the text length. All pure Column ops (surt/date_format/
+    xxhash64/octet_length); rows whose url has no SURT form (non-http)
+    are dropped, matching CDX semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from paddle_spark.functions import surt_key_col
+
+    return (
+        extracted.select(
+            surt_key_col(F.col("url")).alias("surt"),
+            F.date_format(
+                F.coalesce(
+                    F.col("warc_ts"),
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                ),
+                "yyyyMMddHHmmss",
+            ).alias("ts14"),
+            "url",
+            F.conv(
+                F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+                10,
+                16,
+            ).alias("digest"),
+            F.octet_length(F.coalesce(F.col("text"), F.lit(""))).alias("n_bytes"),
+        )
+        .where(F.col("surt").isNotNull())
+    )
+
+
+def write_cdx(index: DataFrame, out_dir: str, n_shards: int = 16) -> None:
+    """Write a GLOBALLY SORTED sharded CDX index: range-partition by
+    (surt, ts14) then sort within each shard — total order across files
+    without a single-reducer sort (the shards and the keys inside each
+    are both ascending, so `cat part-*` is sorted and a reader can
+    binary-search file boundaries first, then within one file). That is
+    exactly how a 10^12-row index must be produced: the range
+    partitioner samples key quantiles, every shard sorts independently,
+    no stage ever sees more than 1/n_shards of the data.
+
+    Lines are space-separated ``surt ts14 url digest n_bytes`` (the
+    classic CDX text layout; a JSON payload variant is one concat away).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        index.repartitionByRange(n_shards, "surt", "ts14")
+        .sortWithinPartitions("surt", "ts14")
+        .select(
+            F.concat_ws(
+                " ", "surt", "ts14", "url", "digest",
+                F.col("n_bytes").cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out_dir)
+    )

@@ -21,7 +21,7 @@ def test_stateful_sessionize_matches_batch(spark, events, tmp_path):
 
     import __spark_entry__ as em
 
-    batch = em.queries()["sessionize"](spark, "/root/testdata/sf0.001")
+    batch = em.q_sessionize(spark, "/root/testdata/sf0.001")
     want = {
         r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()
     }
@@ -80,6 +80,6 @@ def test_state_survives_across_batches(spark, events, tmp_path):
 
     import __spark_entry__ as em
 
-    batch = em.queries()["sessionize"](spark, "/root/testdata/sf0.001")
+    batch = em.q_sessionize(spark, "/root/testdata/sf0.001")
     want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
     assert got == want
