@@ -145,3 +145,38 @@ class TestCdxSink:
             ]
 
         assert slurp(a) == slurp(b)
+
+
+class TestPublishJob:
+    def test_publish_wet_and_cdx(self, spark, tmp_path):
+        """jobs/publish.py end-to-end: extracted parquet -> WET archives
+        that round-trip through our own reader + a sorted CDX index
+        whose rows cover exactly the http(s) corpus."""
+        from paddle_spark.operators.extract_job import extract_pages
+        from paddle_spark.sources.synth import gen_pages_spark
+        from paddle_spark.sources.warc import read_warc_pages
+        from jobs.publish import main
+
+        pages = gen_pages_spark(spark, 100, seed=7, n_partitions=4)
+        extracted = extract_pages(pages, n_partitions=4)
+        src = str(tmp_path / "extracted")
+        extracted.write.parquet(src)
+
+        wet, cdx = str(tmp_path / "wet"), str(tmp_path / "cdx")
+        assert main([
+            "--input", src, "--wet-dir", wet, "--cdx-dir", cdx,
+            "--cdx-shards", "4", "--cpus", "4",
+        ]) == 0
+
+        back = read_warc_pages(spark, wet + "/*.warc.wet.gz")
+        got = {r["url"]: r["text"] for r in back.collect()}
+        want = {r["url"]: (r["text"] or "") for r in extracted.collect()}
+        assert got == want
+
+        lines = []
+        for p in sorted(glob.glob(os.path.join(cdx, "part-*"))):
+            with open(p) as fh:
+                lines.extend(fh.read().splitlines())
+        assert lines == sorted(lines)
+        n_http = sum(1 for u in want if u.lower().startswith("http"))
+        assert len(lines) == n_http == 100
