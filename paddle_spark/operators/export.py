@@ -211,3 +211,61 @@ def write_cdx(index: DataFrame, out_dir: str, n_shards: int = 16) -> None:
         .write.mode("overwrite")
         .text(out_dir)
     )
+
+
+def read_cdx_prefix(spark, cdx_dir: str, surt_prefix: str) -> DataFrame:
+    """Prefix lookup against a ``write_cdx`` index WITHOUT scanning it:
+    because shards are range-partitioned and internally sorted, each
+    part file's [first-line key, last-line key] interval bounds its
+    contents — so we read just the head and tail of every shard (O(n_
+    shards) metadata probes, driver-side, no Spark job) and scan ONLY
+    the shards whose interval intersects the prefix range. A 4096-shard
+    10^12-row index answers a domain lookup by touching the 1-2 shards
+    that can contain it; the returned DataFrame is the parsed CDX rows
+    matching the prefix.
+
+    This is the read-side contract the CDX format exists for (web-archive
+    players binary-search the same way); the pruning is provably safe:
+    a key k matches iff surt_prefix <= k < surt_prefix+chr(0x10FFFF),
+    and shard intervals tile the key space in file order.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    hi = surt_prefix + "\U0010ffff"
+
+    def _first_last(path: str) -> tuple[str, str] | None:
+        size = _os.path.getsize(path)
+        if size == 0:
+            return None
+        with open(path, "rb") as fh:
+            first = fh.readline().split(b" ", 1)[0].decode("utf-8")
+            tail_len = min(size, 1 << 16)
+            fh.seek(size - tail_len)
+            tail = fh.read().rstrip(b"\n")
+            last = tail[tail.rfind(b"\n") + 1 :].split(b" ", 1)[0].decode("utf-8")
+        return first, last
+
+    keep = []
+    for p in sorted(_glob.glob(_os.path.join(cdx_dir, "part-*"))):
+        fl = _first_last(p)
+        if fl and fl[0] <= hi and fl[1] >= surt_prefix:
+            keep.append(p)
+    if not keep:
+        return spark.createDataFrame(
+            [], "surt string, ts14 string, url string, digest string, n_bytes int"
+        )
+    parts = F.split(F.col("value"), " ", 5)
+    return (
+        spark.read.text(keep)
+        .select(
+            parts.getItem(0).alias("surt"),
+            parts.getItem(1).alias("ts14"),
+            parts.getItem(2).alias("url"),
+            parts.getItem(3).alias("digest"),
+            parts.getItem(4).cast("int").alias("n_bytes"),
+        )
+        .where(F.col("surt").startswith(surt_prefix))
+    )

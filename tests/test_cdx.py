@@ -180,3 +180,51 @@ class TestPublishJob:
         assert lines == sorted(lines)
         n_http = sum(1 for u in want if u.lower().startswith("http"))
         assert len(lines) == n_http == 100
+
+
+class TestCdxPrefixLookup:
+    def _write(self, spark, tmp_path, n=400, shards=8):
+        from paddle_spark.operators.export import cdx_index, write_cdx
+
+        out = str(tmp_path / "cdx")
+        idx = cdx_index(TestCdxSink._corpus(TestCdxSink(), spark, n=n))
+        write_cdx(idx, out, n_shards=shards)
+        return out, idx
+
+    def test_lookup_equals_full_scan(self, spark, tmp_path):
+        from paddle_spark.operators.export import read_cdx_prefix
+
+        out, idx = self._write(spark, tmp_path)
+        for prefix in ["com,example,host3)", "com,example,host1", "com,example"]:
+            got = sorted(
+                (r["surt"], r["ts14"], r["url"], r["n_bytes"])
+                for r in read_cdx_prefix(spark, out, prefix).collect()
+            )
+            want = sorted(
+                (r["surt"], r["ts14"], r["url"], r["n_bytes"])
+                for r in idx.collect()
+                if r["surt"].startswith(prefix)
+            )
+            assert got == want and len(got) > 0
+
+    def test_pruning_is_possible_and_miss_is_free(self, spark, tmp_path):
+        """Shard intervals really do exclude most files for a narrow
+        prefix (the premise of the O(shards) probe), and a prefix
+        outside every interval returns empty with no Spark scan."""
+        from paddle_spark.operators.export import read_cdx_prefix
+
+        out, _ = self._write(spark, tmp_path)
+        parts = sorted(glob.glob(os.path.join(out, "part-*")))
+        intervals = []
+        for p in parts:
+            with open(p) as fh:
+                lines = fh.read().splitlines()
+            if lines:
+                intervals.append((lines[0].split(" ")[0], lines[-1].split(" ")[0]))
+        prefix, hi = "com,example,host3)", "com,example,host3)\U0010ffff"
+        touch = [iv for iv in intervals if iv[0] <= hi and iv[1] >= prefix]
+        assert 0 < len(touch) < len(intervals)  # narrow prefix -> few shards
+        # a miss past the whole key range: empty result, correct schema
+        miss = read_cdx_prefix(spark, out, "org,zzz")
+        assert miss.count() == 0
+        assert miss.columns == ["surt", "ts14", "url", "digest", "n_bytes"]
