@@ -3507,6 +3507,46 @@ FROM orders WHERE o_orderkey < 2000
 """
 
 
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parsing (operators/sitemap.py): urlset blocks ->
+    (host, kind, loc, lastmod) rows with XML-entity unescape, optional
+    lastmod, and whitespace trim — closed-form synthetic bodies so the
+    oracle states the expected rows directly."""
+    from paddle_spark.operators.sitemap import sitemap_entries
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    k = F.col("o_orderkey").cast("string")
+    s = (F.col("o_orderkey") % 7).cast("string")
+    body = F.concat(
+        F.lit("<urlset>\n <url><loc> https://s"), s,
+        F.lit(".example.net/page/"), k,
+        F.lit("?a=1&amp;b=2 </loc><lastmod>2024-0"),
+        ((F.col("o_orderkey") % 9) + 1).cast("string"),
+        F.lit("-15</lastmod></url>\n <url><loc>https://s"), s,
+        F.lit(".example.net/alt/"), k,
+        F.lit("</loc></url>\n <url><priority>0.5</priority></url>\n</urlset>"),
+    )
+    src = o.select(
+        F.concat(F.lit("s"), s, F.lit(".example.net")).alias("host"),
+        body.alias("sitemap_xml"),
+    )
+    return sitemap_entries(src)
+
+
+_SITEMAP_ORACLE = """
+SELECT 's' || (o_orderkey % 7) || '.example.net' AS host, 'url' AS kind,
+  'https://s' || (o_orderkey % 7) || '.example.net/page/' || o_orderkey
+    || '?a=1&b=2' AS loc,
+  '2024-0' || ((o_orderkey % 9) + 1) || '-15' AS lastmod
+FROM orders WHERE o_orderkey < 1500
+UNION ALL
+SELECT 's' || (o_orderkey % 7) || '.example.net' AS host, 'url' AS kind,
+  'https://s' || (o_orderkey % 7) || '.example.net/alt/' || o_orderkey AS loc,
+  CAST(NULL AS VARCHAR) AS lastmod
+FROM orders WHERE o_orderkey < 1500
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL suite — canonicalization, outlink extraction, the
     domain-level curation pair (per-host stats + host gate), the
@@ -3520,6 +3560,7 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("host_rank", q_host_rank),
         ("robots_gate", q_robots_gate),
         ("surt_cdx", q_surt_cdx),
+        ("sitemap", q_sitemap),
     ])
 
 
@@ -3717,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
             ("host_rank", _host_rank_oracle()),
             ("robots_gate", _ROBOTS_GATE_ORACLE),
             ("surt_cdx", _SURT_CDX_ORACLE),
+            ("sitemap", _SITEMAP_ORACLE),
         ]),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_embedding": _suite_oracle([
