@@ -3230,6 +3230,148 @@ FROM cov
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: add-one bigram LM trained on the
+    doc_id%5==0 reference slice, every document scored by mean bigram
+    log-probability, head/middle/tail perplexity buckets. The oracle
+    replays the ENTIRE train->score->bucket chain in SQL (counts are
+    exact integers; ln() of exact ratios rounded after the mean — the
+    exp/sqrt precedent of text_signals/corpus_sampling)."""
+    from paddle_spark.operators.lm import (
+        lm_score,
+        ppl_buckets_exact,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    bi, uni, vocab = train_bigram_lm(d.filter(F.col("doc_id") % 5 == 0))
+    return ppl_buckets_exact(lm_score(d, bi, uni, vocab))
+
+
+_LM_PERPLEXITY_ORACLE = r"""
+WITH reft AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
+  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0
+),
+uni AS (
+  SELECT w AS w1, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM reft) GROUP BY 1
+),
+bi AS (
+  SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2, count(*) AS c12
+  FROM reft, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+  GROUP BY 1, 2
+),
+v AS (SELECT count(*) AS v FROM uni),
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
+  FROM documents WHERE doc_id < 400
+),
+pairs AS (
+  SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM docs, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(sum(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+                      / CAST(coalesce(c1, 0) + v AS DOUBLE))) / count(*),
+               3) AS avg_logprob
+  FROM pairs LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CASE least(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id), 3)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the distributed inverted index: three
+    fixed probe queries against the documents corpus; the oracle replays
+    postings -> df -> idf*tf_norm -> rounded-score ranking verbatim.
+    Ranking orders by the ROUNDED score + doc_id so rank order cannot
+    diverge on float dust."""
+    from paddle_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    queries = spark.createDataFrame(
+        [(0, "table scan merge"), (1, "join order batch"), (2, "hash value stream")],
+        "query_id long, query string",
+    )
+    out = bm25_topk(d, queries, k=5)
+    return out.select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        "score",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_BM25_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
+  FROM documents WHERE doc_id < 400
+),
+toks AS (SELECT id, unnest(ws) AS term FROM docs),
+postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY 1, 2),
+doc_lens AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doc_lens
+),
+qraw AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT), 'table scan merge'),
+    (CAST(1 AS BIGINT), 'join order batch'),
+    (CAST(2 AS BIGINT), 'hash value stream')) AS t(query_id, query)
+),
+qterms AS (
+  SELECT query_id,
+         unnest(list_distinct(
+           list_filter(string_split_regex(trim(lower(query)), '\s+'),
+                       w -> w != ''))) AS term
+  FROM qraw
+),
+probed AS (
+  SELECT p.* FROM postings p JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+),
+dfreq AS (SELECT term, count(*) AS df FROM probed GROUP BY 1),
+scored AS (
+  SELECT query_id, id,
+         round(sum(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0)
+              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))), 3) AS score
+  FROM probed
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN doc_lens USING (id)
+  CROSS JOIN stats
+  GROUP BY query_id, id
+)
+SELECT query_id, id AS doc_id, score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q_text_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ranking suite: CCNet-style bigram-LM perplexity bucketing and
+    BM25 inverted-index retrieval — the two corpus-scoring workhorses of
+    a training-data pipeline (quality gating; contamination forensics /
+    targeted sample pulls)."""
+    return _suite_frame(spark, sf_dir, [
+        ("lm_perplexity", q_lm_perplexity),
+        ("bm25_search", q_bm25_search),
+    ])
+
+
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-dedup suite: exact text dedup (D4, groupBy-rep), last-wins
     key collapse (J5, window rn=1), paragraph-level boilerplate
@@ -3603,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; two-round-stable entries run last."""
     return {
         # --- NEW NAMES this round (r5) run first ---
+        "text_ranking": q_text_ranking,            # NEW: LM perplexity + BM25 top-k
         "text_safety": q_text_safety,              # NEW: PII redact + decontaminate
         "corpus_sampling": q_corpus_sampling,      # NEW: hash sample + seq packing
         "job_counters": q_job_counters,            # consolidates counter/status aggs
@@ -3665,6 +3808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_ranking": _suite_oracle([
+            ("lm_perplexity", _LM_PERPLEXITY_ORACLE),
+            ("bm25_search", _BM25_ORACLE),
+        ]),
         "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
         "extract_tables": _tables_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,

@@ -1,0 +1,137 @@
+"""BM25 full-text retrieval over a distributed inverted index.
+
+Training-data pipelines need corpus search constantly — eval-set
+contamination forensics ("which training docs score highest against this
+benchmark question?"), quality-sample pulls, targeted ablation slices.
+This module re-expresses the classic Lucene-style BM25 ranking as pure
+DataFrame algebra:
+
+  * ``build_inverted_index``: one explode + two vocabulary/corpus-bounded
+    aggregations produce postings (term, doc, tf), document lengths, and
+    per-term document frequencies — the standard sharded inverted index,
+    partitioned by term so each query term probes one shuffle partition.
+  * ``bm25_topk``: the query set (tiny — human- or benchmark-sized) is
+    exploded to (query_id, term) rows and BROADCAST; scoring is one hash
+    join postings ⋈ query-terms on the term key (the corpus-sized postings
+    side never re-shuffles for the join), then a per-(query, doc) partial
+    aggregation and a per-query top-k window. At 10^12 documents the only
+    big exchange is the one that built the postings; queries ride along as
+    map-side broadcast probes.
+
+Everything is whole-stage-codegen Column math — no UDFs. Scores use the
+standard Okapi BM25 with the Lucene idf (ln(1 + (N - df + .5)/(df + .5)),
+always positive); N, df, tf, and dl are exact integers, avgdl is one
+double division of exact longs, and the final score is rounded to 3
+decimals AFTER summation so the DuckDB oracle replays it bit-for-bit
+(same discipline as the repo's revenue oracles). Ranking orders by the
+ROUNDED score with a doc-id tiebreak in both engines, so rank order can
+never diverge on float dust.
+
+Reference parity note: the reference repo (xynehq/paddle) is an OCR
+serving pipeline with no retrieval component; this operator belongs to
+the task-mandated training-data tooling family (decontamination analysis
+sits next to operators/safety.decontaminate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from paddle_spark.operators.dedup import words_col
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the three relations of a BM25 index.
+
+    Returns ``(postings, doc_lens, stats)``:
+
+      * postings = (term, id, tf)   — term partitioned, the big table;
+      * doc_lens = (id, dl)         — tokens per document;
+      * stats    = 1 row (n_docs, avgdl) — corpus constants, kept as a
+        DataFrame for the broadcast scalar-subquery pattern (no collect).
+
+    ``df`` (document frequency) is derived from postings at query time by
+    the caller that already joined the query terms — counting only probed
+    terms keeps the full |V|-sized df table out of the plan.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    postings = toks.groupBy("term", "id").agg(F.count("*").alias("tf"))
+    doc_lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = doc_lens.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    return postings, doc_lens, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    Output: (query_id, id, score, rk) with score rounded to 3 decimals
+    and rk in 1..k ordered by (score DESC, id). Duplicate terms within a
+    query contribute once (standard bag-of-terms probe with qtf folded
+    out — web queries are near-set anyway); document tf does the work.
+    """
+    postings, doc_lens, stats = build_inverted_index(docs, id_col, text_col)
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(words_col(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+
+    # df only for probed terms: semi-restrict postings by the broadcast
+    # query vocabulary, then count distinct docs per term.
+    probed = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = probed.groupBy("term").agg(F.count("*").alias("df"))
+
+    hits = (
+        probed.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doc_lens, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        hits.select("query_id", "id", (idf * tf_norm).alias("part"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("part"), 3).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return (
+        scored.select(
+            "query_id", "id", "score", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= k)
+    )
