@@ -3231,19 +3231,21 @@ FROM cov
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality signal: add-one bigram LM trained on the
-    doc_id%5==0 reference slice, every document scored by mean bigram
-    log-probability, head/middle/tail perplexity buckets. The oracle
-    replays the ENTIRE train->score->bucket chain in SQL (counts are
-    exact integers; ln() of exact ratios rounded after the mean — the
-    exp/sqrt precedent of text_signals/corpus_sampling)."""
+    """CCNet-style LM quality signal over the FULL documents table:
+    add-one bigram LM trained on the doc_id%5==0 reference slice, every
+    document scored by mean bigram log-probability, head/middle/tail
+    perplexity buckets. The oracle replays the ENTIRE train->score->
+    bucket chain in SQL (counts are exact integers; ln() of exact ratios
+    rounded after the mean — the exp/sqrt precedent of text_signals/
+    corpus_sampling). History counts and the vocabulary derive from the
+    bigram table, so training scans the reference corpus once."""
     from paddle_spark.operators.lm import (
         lm_score,
         ppl_buckets_exact,
         train_bigram_lm,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = _t(spark, sf_dir, "documents")
     bi, uni, vocab = train_bigram_lm(d.filter(F.col("doc_id") % 5 == 0))
     return ppl_buckets_exact(lm_score(d, bi, uni, vocab))
 
@@ -3251,22 +3253,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_PERPLEXITY_ORACLE = r"""
 WITH reft AS (
   SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
-  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0
-),
-uni AS (
-  SELECT w AS w1, count(*) AS c1
-  FROM (SELECT unnest(ws) AS w FROM reft) GROUP BY 1
+  FROM documents WHERE doc_id % 5 = 0
 ),
 bi AS (
   SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2, count(*) AS c12
   FROM reft, unnest(range(1, greatest(len(ws), 1))) AS t(i)
   GROUP BY 1, 2
 ),
-v AS (SELECT count(*) AS v FROM uni),
+uni AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bi),
 docs AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
-  FROM documents WHERE doc_id < 400
+  FROM documents
 ),
 pairs AS (
   SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
@@ -3296,7 +3295,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge on float dust."""
     from paddle_spark.operators.search import bm25_topk
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = _t(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
         [(0, "table scan merge"), (1, "join order batch"), (2, "hash value stream")],
         "query_id long, query string",
@@ -3314,7 +3313,7 @@ _BM25_ORACLE = r"""
 WITH docs AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
-  FROM documents WHERE doc_id < 400
+  FROM documents
 ),
 toks AS (SELECT id, unnest(ws) AS term FROM docs),
 postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -3358,6 +3357,110 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rk
   FROM scored
 ) WHERE rk <= 5
+"""
+
+
+def q_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction with an EXACT oracle: every field of the planted
+    APP1 segments (orientation, camera make/model, capture time, pixel
+    dims, ISO, f-number, exposure, signed GPS degrees) is closed-form in
+    doc_id, so the oracle rebuilds the expected metadata without parsing
+    a byte. doc_id%7==3 plants a plain JPEG (has_exif=false, null
+    fields — per-item isolation); doc_id%2!=0 omits the GPS IFD. Floats
+    round to 6 in-query on both sides; the d+m/60+s/3600 GPS math runs
+    the identical IEEE sequence in the kernel and the SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.operators.multimodal import exif_meta
+    from paddle_spark.sources.synth import make_exif_jpeg, make_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def to_img(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = []
+            for i in ids:
+                arr = np.full((8, 8), (i * 31) % 256, dtype=np.uint8)
+                if i % 7 == 3:
+                    payloads.append(make_jpeg(arr))
+                    continue
+                gps = None
+                if i % 2 == 0:
+                    gps = (
+                        ("N" if i % 4 == 0 else "S",
+                         (i % 90, i % 60, (i * 7) % 60)),
+                        ("E" if i % 3 == 0 else "W",
+                         (i % 180, (i * 3) % 60, (i * 11) % 60)),
+                    )
+                payloads.append(make_exif_jpeg(
+                    arr,
+                    make=f"cam{i % 3}",
+                    model=f"M{i % 5}",
+                    orientation=1 + i % 8,
+                    datetime_s=f"2024:01:02 03:04:0{i % 10}",
+                    exposure=(1, 60 + i % 200),
+                    f_number=(10 + i % 30, 10),
+                    iso=100 * (1 + i % 4),
+                    pix_x=100 + i % 50,
+                    pix_y=200 + i % 60,
+                    gps=gps,
+                    big_endian=(i % 5 == 0),
+                ))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(to_img, schema="media_id long, payload binary")
+    out = exif_meta(media)
+    return out.select(
+        "media_id", "has_exif", "orientation", "make", "model", "datetime",
+        "exif_width", "exif_height", "iso",
+        F.round("f_number", 6).alias("f_number"),
+        F.round("exposure_time", 6).alias("exposure_time"),
+        F.round("gps_lat", 6).alias("gps_lat"),
+        F.round("gps_lon", 6).alias("gps_lon"),
+    )
+
+
+_MM_EXIF_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       (doc_id % 7 != 3) AS has_exif,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS orientation,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE 'cam' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE 'M' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE '2024:01:02 03:04:0' || CAST(doc_id % 10 AS VARCHAR)
+       END AS datetime,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE CAST(100 + doc_id % 50 AS BIGINT) END AS exif_width,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE CAST(200 + doc_id % 60 AS BIGINT) END AS exif_height,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE CAST(100 * (1 + doc_id % 4) AS BIGINT) END AS iso,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE round(CAST(10 + doc_id % 30 AS DOUBLE) / 10.0, 6)
+       END AS f_number,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE round(1.0 / CAST(60 + doc_id % 200 AS DOUBLE), 6)
+       END AS exposure_time,
+       CASE WHEN doc_id % 7 = 3 OR doc_id % 2 != 0 THEN NULL
+            ELSE round((CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE -1.0 END)
+                       * (CAST(doc_id % 90 AS DOUBLE)
+                          + CAST(doc_id % 60 AS DOUBLE) / 60.0
+                          + CAST((doc_id * 7) % 60 AS DOUBLE) / 3600.0), 6)
+       END AS gps_lat,
+       CASE WHEN doc_id % 7 = 3 OR doc_id % 2 != 0 THEN NULL
+            ELSE round((CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END)
+                       * (CAST(doc_id % 180 AS DOUBLE)
+                          + CAST((doc_id * 3) % 60 AS DOUBLE) / 60.0
+                          + CAST((doc_id * 11) % 60 AS DOUBLE) / 3600.0), 6)
+       END AS gps_lon
+FROM documents WHERE doc_id < 200
 """
 
 
@@ -3746,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW NAMES this round (r5) run first ---
         "text_ranking": q_text_ranking,            # NEW: LM perplexity + BM25 top-k
+        "mm_exif": q_mm_exif,                      # NEW: EXIF APP1/IFD metadata
         "text_safety": q_text_safety,              # NEW: PII redact + decontaminate
         "corpus_sampling": q_corpus_sampling,      # NEW: hash sample + seq packing
         "job_counters": q_job_counters,            # consolidates counter/status aggs
@@ -3812,6 +3916,7 @@ def oracle_sql() -> dict[str, str]:
             ("lm_perplexity", _LM_PERPLEXITY_ORACLE),
             ("bm25_search", _BM25_ORACLE),
         ]),
+        "mm_exif": _MM_EXIF_ORACLE,
         "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
         "extract_tables": _tables_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,

@@ -45,6 +45,9 @@ HEADLINE = [
     "text_stats",      # tokens + quality + fingerprint (consolidated)
     "span_dedup",      # ExactSubstr rolling-hash span removal (round-5)
     "host_rank",       # fixed-point PageRank over outlink graph (round-5)
+    "lm_perplexity",   # CCNet-style bigram-LM quality buckets (round-5b)
+    "bm25_search",     # BM25 top-k over inverted index (round-5b)
+    "mm_exif",         # EXIF APP1/IFD metadata extraction (round-5b)
     "extract_real_pdf",  # real PDF parser chain, exact-oracled
     "extract_scanned",   # pixels -> boxes -> text (round-4 branch)
     "extract_orientation",  # 0/90/180/270 classify + OCR (round-5)
@@ -260,6 +263,10 @@ def main() -> None:
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.46,
         "dedup_minhash_lsh": 1.08, "ann_topk": 0.44, "text_stats": 0.59,
         "span_dedup": 0.71, "host_rank": 1.68,
+        # round-5b: warm floors from a 7%-steal session (quiet likely
+        # lower); multi-stage pipelines, so fixture-scale cost is stage
+        # scheduling, not data
+        "lm_perplexity": 1.5, "bm25_search": 2.2, "mm_exif": 1.4,
         "extract_real_pdf": 0.63, "extract_scanned": 0.66,
         "extract_orientation": 0.72, "extract_tables": 0.42,
     }

@@ -42,50 +42,61 @@ from paddle_spark.operators.dedup import words_col
 
 
 def _bigrams_col(text: Column) -> Column:
-    """array<struct<w1,w2>> of adjacent lowercase token pairs."""
+    """array<struct<w1,w2>> of adjacent lowercase token pairs.
+
+    Built as arrays_zip(slice(ws,1,n-1), slice(ws,2,n-1)) rather than a
+    transform over element_at: the zip evaluates the tokenization O(1)
+    times per row instead of per element (Generate inlines the full
+    split/filter expression — with element_at that re-evaluation is per
+    pair, quadratic on long documents)."""
     ws = words_col(F.lower(text))
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    n1 = F.size(ws) - 1
     return F.when(
-        n >= 2,
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("w1"),
-                F.element_at(ws, i + 1).alias("w2"),
-            ),
+        n1 >= 1,
+        F.arrays_zip(
+            F.slice(ws, 1, n1).alias("w1"),
+            F.slice(ws, 2, n1).alias("w2"),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
 def train_bigram_lm(
-    ref: DataFrame, text_col: str = "text"
+    ref: DataFrame, text_col: str = "text", cache: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the count tables of an add-one-smoothed bigram LM from a
     reference corpus.
 
-    Returns ``(bigram_counts, unigram_counts, vocab)`` where
+    Returns ``(bigram_counts, history_counts, vocab)`` where
 
       * ``bigram_counts``  = (w1, w2, c12)   — adjacent-pair counts,
-      * ``unigram_counts`` = (w1, c1)        — history counts,
-      * ``vocab``          = single row (v)  — distinct token count,
+      * ``history_counts`` = (w1, c1)        — c1 = Σ_w2 c12, the MLE
+        conditioning denominator (how often w1 appears as a history),
+      * ``vocab``          = single row (v)  — distinct successor count,
         kept as a 1-row DataFrame so scoring can fold it in with the
         scalar-subquery crossJoin(broadcast(...)) pattern (no collect).
 
-    One shuffle per table, all partially aggregated map-side; output
-    cardinality is vocabulary-bounded, independent of corpus row count.
+    The reference corpus is scanned and exploded exactly ONCE: the
+    history table and the vocabulary both derive from the bigram counts
+    (vocabulary-bounded aggregates, independent of corpus row count), so
+    training costs one corpus shuffle, not three. With history counts as
+    the denominator, P(·|w1) sums to (c1 + V·a)/(c1 + V·a) = 1 under
+    add-one — the usual unigram-occurrence denominator leaks mass at
+    document-final tokens.
     """
-    toks = ref.select(
-        F.explode(words_col(F.lower(F.col(text_col)))).alias("w1")
-    )
-    uni = toks.groupBy("w1").agg(F.count("*").alias("c1"))
     bi = (
         ref.select(F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
-    vocab = uni.agg(F.count("*").alias("v"))
+    if cache:
+        # the history table, the vocabulary scalar, and the scoring join
+        # all consume bi: persisting it keeps "one corpus scan" literally
+        # true (otherwise each broadcast job re-derives the subtree).
+        # Callers owning long-lived sessions can bi.unpersist() when done.
+        bi = bi.persist()
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bi.agg(F.countDistinct("w2").alias("v"))
     return bi, uni, vocab
 
 

@@ -674,3 +674,63 @@ def video_frames(
             ])
 
     return src.mapInPandas(batch, schema=FRAME_SCHEMA)
+
+
+EXIF_SCHEMA = (
+    "media_id long, has_exif boolean, orientation long, make string, "
+    "model string, datetime string, exif_width long, exif_height long, "
+    "iso long, f_number double, exposure_time double, "
+    "gps_lat double, gps_lon double"
+)
+
+
+def exif_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """EXIF metadata extraction over JPEG/TIFF payloads (kernels/exif.py —
+    APP1 walk + IFD chain, public EXIF 2.32/TIFF 6.0). Map-only
+    Arrow-batched mapInPandas with per-item isolation (T5): payloads
+    without EXIF (or garbage) yield has_exif=false rows with null fields,
+    never task failures. The GPS columns double as a PII-audit signal for
+    the safety family — embedded capture locations are exactly what a
+    published corpus must strip. Orientation feeds the same
+    quarter-turn normalization the scanned-OCR branch applies."""
+    from paddle_spark.kernels.exif import parse_exif
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    r = parse_exif(
+                        bytes(payload) if payload is not None else None
+                    )
+                except Exception:
+                    r = None
+                if r is None:
+                    rows.append((int(mid), False) + (None,) * 11)
+                    continue
+                rows.append((
+                    int(mid), True,
+                    int(r["orientation"]) if r["orientation"] is not None else None,
+                    r["make"], r["model"], r["datetime"],
+                    int(r["exif_width"]) if r["exif_width"] is not None else None,
+                    int(r["exif_height"]) if r["exif_height"] is not None else None,
+                    int(r["iso"]) if r["iso"] is not None else None,
+                    r["f_number"], r["exposure_time"],
+                    r["gps_lat"], r["gps_lon"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "has_exif", "orientation", "make", "model",
+                "datetime", "exif_width", "exif_height", "iso",
+                "f_number", "exposure_time", "gps_lat", "gps_lon",
+            ])
+
+    return src.mapInPandas(batch, schema=EXIF_SCHEMA)

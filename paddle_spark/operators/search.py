@@ -42,7 +42,10 @@ from paddle_spark.operators.dedup import words_col
 
 
 def build_inverted_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the three relations of a BM25 index.
 
@@ -63,6 +66,14 @@ def build_inverted_index(
     )
     postings = toks.groupBy("term", "id").agg(F.count("*").alias("tf"))
     doc_lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    if cache:
+        # an index IS a materialization: postings feeds both the df count
+        # and the probe join, doc_lens feeds both stats and the length
+        # join — without persisting, each consumer re-explodes the whole
+        # corpus. In production these land in bucketed tables; persist()
+        # is the in-session equivalent. Callers can unpersist when done.
+        postings = postings.persist()
+        doc_lens = doc_lens.persist()
     stats = doc_lens.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -97,14 +108,15 @@ def bm25_topk(
         ).alias("term"),
     )
 
-    # df only for probed terms: semi-restrict postings by the broadcast
-    # query vocabulary, then count distinct docs per term.
-    probed = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
-    dfreq = probed.groupBy("term").agg(F.count("*").alias("df"))
+    # one broadcast probe restricts postings to query terms; df (docs per
+    # term) derives from the same probed relation with countDistinct so a
+    # term shared by two queries is not double-counted. Everything term-
+    # statistics-shaped stays vocabulary-bounded and broadcastable.
+    hits0 = postings.join(F.broadcast(qterms), "term")
+    dfreq = hits0.groupBy("term").agg(F.countDistinct("id").alias("df"))
 
     hits = (
-        probed.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        hits0.join(F.broadcast(dfreq), "term")
         .join(doc_lens, "id")
         .crossJoin(F.broadcast(stats))
     )

@@ -1739,3 +1739,112 @@ def make_mp4(timescale: int = 1000, duration: int = 5000,
     tkhd_a = box(b"tkhd", bytes(76) + struct.pack(">II", 0, 0))
     moov = box(b"moov", mvhd + box(b"trak", tkhd_a) + box(b"trak", tkhd_v))
     return box(b"ftyp", b"isomiso2") + moov + box(b"mdat", b"\x00" * 16)
+
+
+def make_exif_tiff_body(
+    make: str = "SynthCam",
+    model: str = "SC-1",
+    orientation: int = 1,
+    datetime_s: str = "2024:01:02 03:04:05",
+    exposure=(1, 125),
+    f_number=(28, 10),
+    iso: int = 200,
+    pix_x: int = 640,
+    pix_y: int = 480,
+    gps=None,
+    big_endian: bool = False,
+) -> bytes:
+    """The TIFF body of an EXIF segment (EXIF 2.32 layout, written
+    independently against the spec as the forward twin of
+    kernels/exif.parse_exif): IFD0 (Make/Model/Orientation/DateTime +
+    Exif/GPS sub-IFD pointers) -> Exif IFD (exposure, f-number, ISO,
+    DateTimeOriginal, pixel dims) -> optional GPS IFD. ``gps`` is
+    ((lat_ref,(d,m,s)), (lon_ref,(d,m,s))) with integer d/m/s.
+    Out-of-line values live in a data area after the last IFD, offsets
+    resolved in one layout pass."""
+    import struct as _s
+
+    en = ">" if big_endian else "<"
+
+    def entry(tag, typ, cnt, val4):
+        return _s.pack(en + "HHI", tag, typ, cnt) + val4
+
+    # layout: header(8) | IFD0 | ExifIFD | [GPSIFD] | data area
+    n0, n1 = 6 if gps else 5, 7
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    gps_off = exif_off + 2 + 12 * n1 + 4
+    data_off = (gps_off + 2 + 12 * 4 + 4) if gps else gps_off
+    data = bytearray()
+
+    def put_ascii(s):
+        nonlocal data
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            return len(raw), raw.ljust(4, b"\x00"), True
+        off = data_off + len(data)
+        data += raw
+        return len(raw), _s.pack(en + "I", off), True
+
+    def put_rationals(pairs):
+        nonlocal data
+        off = data_off + len(data)
+        for num, den in pairs:
+            data += _s.pack(en + "II", num, den)
+        return len(pairs), _s.pack(en + "I", off), True
+
+    e0 = []
+    c, v, _ = put_ascii(make)
+    e0.append(entry(271, 2, c, v))
+    c, v, _ = put_ascii(model)
+    e0.append(entry(272, 2, c, v))
+    e0.append(entry(274, 3, 1, _s.pack(en + "HH", orientation, 0)))
+    c, v, _ = put_ascii(datetime_s)
+    e0.append(entry(306, 2, c, v))
+    e0.append(entry(34665, 4, 1, _s.pack(en + "I", exif_off)))
+    if gps:
+        e0.append(entry(34853, 4, 1, _s.pack(en + "I", gps_off)))
+
+    e1 = []
+    c, v, _ = put_rationals([exposure])
+    e1.append(entry(33434, 5, c, v))
+    c, v, _ = put_rationals([f_number])
+    e1.append(entry(33437, 5, c, v))
+    e1.append(entry(34855, 3, 1, _s.pack(en + "HH", iso, 0)))
+    c, v, _ = put_ascii(datetime_s)
+    e1.append(entry(36867, 2, c, v))
+    c, v, _ = put_rationals([(50, 1)])
+    e1.append(entry(37386, 5, c, v))
+    e1.append(entry(40962, 4, 1, _s.pack(en + "I", pix_x)))
+    e1.append(entry(40963, 4, 1, _s.pack(en + "I", pix_y)))
+
+    eg = []
+    if gps:
+        (lat_ref, lat_dms), (lon_ref, lon_dms) = gps
+        eg.append(entry(1, 2, 2, (lat_ref.encode("ascii") + b"\x00").ljust(4, b"\x00")))
+        c, v, _ = put_rationals([(x, 1) for x in lat_dms])
+        eg.append(entry(2, 5, c, v))
+        eg.append(entry(3, 2, 2, (lon_ref.encode("ascii") + b"\x00").ljust(4, b"\x00")))
+        c, v, _ = put_rationals([(x, 1) for x in lon_dms])
+        eg.append(entry(4, 5, c, v))
+
+    def ifd(entries):
+        return (
+            _s.pack(en + "H", len(entries))
+            + b"".join(entries)
+            + _s.pack(en + "I", 0)
+        )
+
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + _s.pack(en + "I", ifd0_off)
+    body = hdr + ifd(e0) + ifd(e1) + (ifd(eg) if gps else b"") + bytes(data)
+    return body
+
+
+def make_exif_jpeg(arr, **exif_kwargs) -> bytes:
+    """A baseline JPEG (make_jpeg) carrying an EXIF APP1 segment spliced
+    directly after SOI — the standard camera-file layout."""
+    base = make_jpeg(arr)
+    tiff = make_exif_tiff_body(**exif_kwargs)
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return base[:2] + app1 + base[2:]

@@ -19,14 +19,14 @@ from paddle_spark.operators.lm import (
 
 
 def _python_lm(ref_texts):
+    """History counts c1 = Σ_w2 c12; vocabulary = distinct successors."""
     uni, bi = {}, {}
     for t in ref_texts:
         ws = t.lower().split()
-        for w in ws:
-            uni[w] = uni.get(w, 0) + 1
         for a, b in zip(ws, ws[1:]):
             bi[(a, b)] = bi.get((a, b), 0) + 1
-    return uni, bi, len(uni)
+            uni[a] = uni.get(a, 0) + 1
+    return uni, bi, len({b for _, b in bi})
 
 
 def _python_score(text, uni, bi, v):
