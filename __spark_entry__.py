@@ -3464,6 +3464,109 @@ FROM documents WHERE doc_id < 200
 """
 
 
+_C4_KEEP1 = "the quick data pipeline processes many documents every single day."
+_C4_Q = "is this a complete question with enough words to count?"
+_C4_DOT = "the table scan works well today."
+_C4_JS = "please enable javascript to view the dynamic content here."
+_C4_BRACE = "var config = { mode: fast }"
+_C4_LOREM = "lorem ipsum dolor sit amet consectetur adipiscing elit now."
+_C4_BAD = "this sentence mentions one obscene word in passing today."
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules over planted multi-line pages: the word-salad
+    base line (no terminal punctuation) is always line-dropped; planted
+    lines exercise every rule — terminal-punct keeps, a <5-word line, a
+    javascript line (line-dropped but its '.' still counts toward page
+    sentences), a '{' page poison, a lorem-ipsum page poison, and a
+    blocklist-word page poison. The oracle replays the identical
+    containment/ends-with logic (no regex anywhere)."""
+    from paddle_spark.operators.textstats import c4_signals
+
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit(_C4_KEEP1),
+        F.lit(_C4_Q),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_C4_DOT)),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_C4_JS)),
+        F.when(F.col("doc_id") % 5 == 2, F.lit(_C4_BRACE)),
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_C4_LOREM)),
+        F.when(F.col("doc_id") % 11 == 4, F.lit(_C4_BAD)),
+    )
+    return c4_signals(d.select("doc_id", text2.alias("text")))
+
+
+_C4_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           '{_C4_KEEP1}',
+           '{_C4_Q}',
+           CASE WHEN doc_id % 2 = 0 THEN '{_C4_DOT}' END,
+           CASE WHEN doc_id % 4 = 1 THEN '{_C4_JS}' END,
+           CASE WHEN doc_id % 5 = 2 THEN '{_C4_BRACE}' END,
+           CASE WHEN doc_id % 7 = 3 THEN '{_C4_LOREM}' END,
+           CASE WHEN doc_id % 11 = 4 THEN '{_C4_BAD}' END) AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                                    w -> w != '')) >= 5
+                AND NOT contains(lower(x), 'javascript')) AS kept,
+         (length(text) - length(replace(text, '.', '')))
+         + (length(text) - length(replace(text, '!', '')))
+         + (length(text) - length(replace(text, '?', ''))) AS n_sent,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         (contains(lower(text), 'badword') OR contains(lower(text), 'obscene')
+          OR contains(lower(text), 'expletive')) AS has_badword
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       has_brace, has_lorem, has_badword,
+       (n_sent >= 3 AND NOT has_brace AND NOT has_lorem AND NOT has_badword)
+         AS c4_keep,
+       array_to_string(kept, chr(10)) AS kept_text
+FROM s
+"""
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE train+encode with an EXACT oracle via saturation: the
+    synthetic corpus vocabulary is small (31 words, min frequency 26),
+    so 500 merges fully collapse every word — training provably
+    converges to one token per word, making n_tokens == n_words
+    closed-form. The general (unsaturated) algorithm is pinned by
+    tests/test_bpe.py against the published Sennrich merge sequence and
+    a detokenize round-trip."""
+    from paddle_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=500)
+    return bpe_encode(d, merges)
+
+
+_BPE_ORACLE = r"""
+SELECT doc_id AS id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w != '') AS ws
+  FROM documents
+)
+"""
+
+
 def q_text_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-ranking suite: CCNet-style bigram-LM perplexity bucketing and
     BM25 inverted-index retrieval — the two corpus-scoring workhorses of
@@ -3850,6 +3953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW NAMES this round (r5) run first ---
         "text_ranking": q_text_ranking,            # NEW: LM perplexity + BM25 top-k
         "mm_exif": q_mm_exif,                      # NEW: EXIF APP1/IFD metadata
+        "bpe_tokenize": q_bpe_tokenize,            # NEW: real BPE train+encode
+        "c4_filters": q_c4_filters,                # NEW: C4 line/page cleaning rules
         "text_safety": q_text_safety,              # NEW: PII redact + decontaminate
         "corpus_sampling": q_corpus_sampling,      # NEW: hash sample + seq packing
         "job_counters": q_job_counters,            # consolidates counter/status aggs
@@ -3917,6 +4022,8 @@ def oracle_sql() -> dict[str, str]:
             ("bm25_search", _BM25_ORACLE),
         ]),
         "mm_exif": _MM_EXIF_ORACLE,
+        "bpe_tokenize": _BPE_ORACLE,
+        "c4_filters": _C4_ORACLE,
         "extract_orientation": _EXTRACT_ORIENTATION_ORACLE,
         "extract_tables": _tables_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,

@@ -263,3 +263,67 @@ def hashed_linear_score(
         F.round(prob, 6).alias("prob"),
         (prob >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+#: Demo blocklist for the C4 bad-word page filter — the real pipeline uses
+#: the public "List of Dirty, Naughty ..." blocklist (hundreds of entries);
+#: the list is a parameter, these placeholders keep fixtures printable.
+C4_BADWORDS = ["badword", "obscene", "expletive"]
+
+
+def c4_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — public) as pure
+    Column ops:
+
+      * line level: keep only lines that end in terminal punctuation
+        (``. ! ? "``), contain at least 5 words, and do not mention
+        'javascript';
+      * page level: drop pages with fewer than 3 sentences (terminal-mark
+        count), containing '{', 'lorem ipsum', or a blocklist word.
+
+    Returns per-doc audit columns plus the line-filtered text, so the
+    gate is explainable (how much was dropped and why), mirroring the
+    funnel-metrics discipline of operators/curate.py. Every predicate is
+    containment/ends-with — no regex — so the DuckDB oracle replays the
+    identical logic; map-only, no shuffle.
+    """
+    bad = badwords if badwords is not None else C4_BADWORDS
+    text = F.col(text_col)
+    low = F.lower(text)
+    lines = F.split(text, "\n")
+
+    def _kept(l: Column) -> Column:
+        lt = F.trim(l)
+        return (
+            F.substring(lt, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.filter(F.split(lt, r"\s+"), lambda w: w != "")) >= 5)
+            & (F.instr(F.lower(l), "javascript") == 0)
+        )
+
+    kept = F.filter(lines, _kept)
+    n_sent = sum(
+        (F.length(text) - F.length(F.replace(text, F.lit(c), F.lit(""))))
+        for c in ".!?"
+    )
+    has_brace = F.instr(text, "{") > 0
+    has_lorem = F.instr(low, "lorem ipsum") > 0
+    has_bad = F.lit(False)
+    for w in bad:
+        has_bad = has_bad | (F.instr(low, w.lower()) > 0)
+    keep = (n_sent >= 3) & ~has_brace & ~has_lorem & ~has_bad
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_bad.alias("has_badword"),
+        keep.alias("c4_keep"),
+        F.concat_ws("\n", kept).alias("kept_text"),
+    )
