@@ -469,3 +469,54 @@ def extract_html(
     n_kept = len(kept)
     n_dropped = len(blocks) - n_kept
     return "\n".join(kept), n_kept, n_dropped
+
+
+# --- HTML table recognition (the table-pipeline analog for the HTML
+# modality; the PDF/layout modality's counterpart is kernels/table.py,
+# whose markdown contract — header row, | --- | separator, \| escaping —
+# this renderer reproduces exactly) ---
+
+_TABLE_RE = re.compile(r"(?is)<table\b[^>]*>(.*?)</table\s*>")
+_TR_RE = re.compile(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>")
+_CELL_RE = re.compile(r"(?is)<t([dh])\b[^>]*>(.*?)</t[dh]\s*>")
+_ANY_TAG_RE = re.compile(r"(?s)<[^>]*>")
+
+
+def html_tables(payload: bytes) -> list[str]:
+    """GitHub pipe-table markdown for every ``<table>`` in the document,
+    in document order.
+
+    Scope (documented): explicit ``</td>``/``</tr>`` closers (the
+    overwhelmingly common machine-generated case); nested tables degrade
+    to the inner table's rows inside the outer cell text; colspan/rowspan
+    attributes are ignored (cells land in source order, rows pad to the
+    widest). Script/style/comment islands are removed before matching so
+    a ``</table>`` inside a script string cannot truncate a table.
+    Ragged rows right-pad with empty cells; a table with no cells yields
+    nothing.
+    """
+    doc = decode_html(payload)
+    doc = _SILENT_ISLAND_RE.sub("", doc)
+    out: list[str] = []
+    for tm in _TABLE_RE.finditer(doc):
+        grid: list[list[str]] = []
+        for rm in _TR_RE.finditer(tm[1]):
+            cells = _CELL_RE.findall(rm[1])
+            if not cells:
+                continue
+            grid.append(
+                [normalize_text(_ANY_TAG_RE.sub(" ", c)) for _, c in cells]
+            )
+        if not grid:
+            continue
+        width = max(len(r) for r in grid)
+        esc = [
+            [t.replace("|", "\\|") for t in r] + [""] * (width - len(r))
+            for r in grid
+        ]
+        lines = ["| " + " | ".join(esc[0]) + " |"]
+        lines.append("| " + " | ".join(["---"] * width) + " |")
+        for row in esc[1:]:
+            lines.append("| " + " | ".join(row) + " |")
+        out.append("\n".join(lines))
+    return out

@@ -112,3 +112,44 @@ def extract_blocks(
             yield pd.DataFrame(out, columns=[f.name for f in BLOCKS_SCHEMA.fields])
 
     return src.mapInPandas(fan_out, schema=BLOCKS_SCHEMA)
+
+
+def html_table_blocks(
+    pages: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """HTML table recognition fan-out: one page row -> one row per
+    ``<table>``, rendered as GitHub pipe-table markdown
+    (kernels/html.html_tables — same markdown contract as the PDF/layout
+    branch's kernels/table.render_table). Map-only Arrow-batched
+    mapInPandas with per-item isolation: unparseable payloads yield zero
+    rows, never task failures. The HTML-modality analog of the
+    reference's SLANet table pipeline output."""
+    from paddle_spark.kernels.html import html_tables
+
+    src = pages.select(
+        F.col(url_col).alias("url"), F.col(payload_col).alias("payload")
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            urls, nos, mds = [], [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                try:
+                    tables = html_tables(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except Exception:
+                    continue
+                for i, md in enumerate(tables):
+                    urls.append(url)
+                    nos.append(i)
+                    mds.append(md)
+            yield pd.DataFrame(
+                {"url": urls, "table_no": nos, "table_md": mds}
+            )
+
+    return src.mapInPandas(
+        batch, schema="url string, table_no int, table_md string"
+    )
