@@ -1085,6 +1085,67 @@ FROM part
 """
 
 
+def q_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-modality table recognition (kernels/html.html_tables — the
+    <table>-grid analog of the reference's SLANet table pipeline,
+    pipeline_config.yaml:611-935, rendered under the same pipe-table
+    markdown contract as kernels/table.py). Closed-form two-table
+    fixture per document exercises the documented edge cases — a script
+    island carrying a literal '</table>' (must not truncate), a pipe
+    needing '\\|' escaping, and a ragged row needing right-padding —
+    so the exact markdown is SQL-expressible."""
+    import pandas as pd
+
+    from paddle_spark.kernels.html import html_tables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def to_md(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            payloads = [
+                (
+                    '<html><body><script>var s = "</table>";</script>'
+                    "<p>prose</p><table class=x>"
+                    "<tr><th>key</th><th>val</th></tr>"
+                    f"<tr><td>a|{i}</td><td>{i}</td></tr>"
+                    f"<tr><td>b{i}</td></tr>"
+                    "</table><table><tr><td>solo</td></tr></table>"
+                    "</body></html>"
+                ).encode()
+                for i in ids
+            ]
+            tbls = [html_tables(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tables": [len(t) for t in tbls],
+                    "md": ["\n\n".join(t) for t in tbls],
+                }
+            )
+
+    return docs.mapInPandas(
+        to_md, schema="doc_id long, n_tables long, md string"
+    )
+
+
+# Backslash is literal inside DuckDB single-quoted strings, so 'a\|'
+# spells the markdown pipe escape; the padded ragged cell renders as
+# '|  |' (two spaces) exactly like the Spark-side renderer.
+_HTML_TABLE_ORACLE = r"""
+SELECT doc_id, CAST(2 AS BIGINT) AS n_tables,
+  '| key | val |' || chr(10) ||
+  '| --- | --- |' || chr(10) ||
+  '| a\|' || doc_id || ' | ' || doc_id || ' |' || chr(10) ||
+  '| b' || doc_id || ' |  |' || chr(10) || chr(10) ||
+  '| solo |' || chr(10) ||
+  '| --- |' AS md
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (scheme/host lowercase, default-port strip,
     fragment drop, tracking-param removal) + host extraction — the
@@ -3605,8 +3666,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/scalar kernel suite — regex extraction, bbox-key
     normalization (X3), data-URI strip (X6), base64 round-trip (X1),
-    the HTML strip chain (X4), and unicode text normalization
-    (hygiene chain + NFC + CCNet hash key, operators/normalize.py)."""
+    the HTML strip chain (X4), unicode text normalization
+    (hygiene chain + NFC + CCNet hash key, operators/normalize.py),
+    and HTML <table> recognition to pipe-table markdown."""
     return _suite_frame(spark, sf_dir, [
         ("regex_extract", q_regex_extract),
         ("key_normalize", q_key_normalize),
@@ -3614,6 +3676,7 @@ def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("b64_roundtrip", q_b64_roundtrip),
         ("html_strip", q_html_strip),
         ("text_clean", q_text_clean),
+        ("html_table", q_html_table),
     ])
 
 
@@ -4108,6 +4171,7 @@ def oracle_sql() -> dict[str, str]:
             ("b64_roundtrip", _B64_ORACLE),
             ("html_strip", _HTML_STRIP_ORACLE),
             ("text_clean", _text_clean_oracle()),
+            ("html_table", _HTML_TABLE_ORACLE),
         ]),
         "url_kernels": _suite_oracle([
             ("url_canonicalize", _URL_CANON_ORACLE),
