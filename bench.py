@@ -249,6 +249,22 @@ def main() -> None:
     # otherwise swamp the cross-round-comparable headline number
     imgs_per_sec = n_imgs / px_sec
 
+    # system-codec arm (ctypes libpng/libwebp, round 5c): same corpus,
+    # codec='system' — skipped silently on hosts without the libraries
+    sys_imgs_per_sec = None
+    try:
+        from paddle_spark.kernels.pixels import decoder_for
+
+        decoder_for("system")  # raises ImportError when no system libs
+        force(pixel_stats(images, max_dim=640, codec="system"))  # warm
+        px_sys = timed_best(
+            lambda: pixel_stats(images, max_dim=640, codec="system"),
+            repeats=2,
+        )
+        sys_imgs_per_sec = round(n_imgs / px_sys, 1)
+    except ImportError:
+        pass
+
     steal = mon.stop()
 
     # Contention guard. Co-tenant interference on this box often shows as
@@ -310,6 +326,11 @@ def main() -> None:
                 "pixel_decode_imgs_per_sec": round(imgs_per_sec, 1),
                 "pixel_decode_sec": round(px_sec, 3),
                 "pixel_decode_imgs": n_imgs,
+                **(
+                    {"pixel_decode_system_imgs_per_sec": sys_imgs_per_sec}
+                    if sys_imgs_per_sec is not None
+                    else {}
+                ),
                 "sustained_docs": n_sus,
                 "sustained_docs_per_sec": sus_per_sec,
                 "cpus": CPUS,

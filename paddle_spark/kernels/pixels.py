@@ -709,11 +709,46 @@ def decoder_for(codec: str):
       corpora; a deliberate choice for bulk.
     - ``native``: PIL-backed decode for production throughput; raises
       ImportError in runtimes without PIL rather than degrading quietly.
+    - ``system``: system shared-library codecs through ctypes where
+      bound — PNG via libpng (kernels/png_native.py, byte-identical to
+      the pure decoder on its shared domain and a superset beyond it:
+      16-bit, interlaced), WebP via libwebp (already inside
+      decode_pixels' dispatch) — pure Python for everything else. The
+      bulk path that is MEASURABLE in this sandbox (no PIL here); raises
+      ImportError when no system codec library is present at all.
+      (JPEG stays pure-Python under 'system': classic libjpeg's
+      setjmp/longjmp error contract cannot be expressed safely through
+      ctypes — a decode error would exit() the executor's python
+      worker. PIL wraps it correctly; that is what 'native' is for.)
     - ``off``: refuse pixel decode at plan-construction time — the guard
       for jobs that only need headers/metadata (kernels/raster.py).
     """
     if codec == "python":
         return decode_pixels
+    if codec == "system":
+        from paddle_spark.kernels import png_native
+        from paddle_spark.kernels import webp_native
+
+        if not (png_native.have_native_png() or webp_native.have_native_webp()):
+            raise ImportError(
+                "pixel_codec='system' found no system codec libraries "
+                "(libpng16 / libwebp) on this host; choose 'python' "
+                "(pure, slower) or 'native' (PIL)"
+            )
+
+        def _system(p: bytes | None) -> np.ndarray | None:
+            if not p:
+                return None
+            try:
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    out = png_native.decode_png_native(p)
+                    if out is not None:
+                        return out
+                return decode_pixels(p)
+            except Exception:
+                return None
+
+        return _system
     if codec == "native":
         try:
             from PIL import Image
@@ -749,8 +784,9 @@ def decoder_for(codec: str):
     if codec == "off":
         raise ValueError(
             "pixel decode is disabled (pixel_codec='off'); pick 'python' "
-            "(pure-Python, correctness-first) or 'native' (PIL) explicitly "
-            "before running a bulk pixel job"
+            "(pure-Python, correctness-first), 'system' (ctypes libpng/"
+            "libwebp where present), or 'native' (PIL) explicitly before "
+            "running a bulk pixel job"
         )
     raise ValueError(f"unknown pixel codec {codec!r}")
 
