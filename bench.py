@@ -279,10 +279,10 @@ def main() -> None:
         "topk_per_group": 0.56, "sessionize": 0.52, "time_buckets": 0.46,
         "dedup_minhash_lsh": 1.08, "ann_topk": 0.44, "text_stats": 0.59,
         "span_dedup": 0.71, "host_rank": 1.68,
-        # round-5b: warm floors from a 7%-steal session (quiet likely
-        # lower); multi-stage pipelines, so fixture-scale cost is stage
-        # scheduling, not data
-        "lm_perplexity": 1.5, "bm25_search": 2.2, "mm_exif": 1.4,
+        # round-5c: floors re-seeded from measured quiet-window bests
+        # (0.70/1.24/0.61 across two sessions) — the round-5b 7%-steal
+        # seeds were 2x too loose
+        "lm_perplexity": 0.70, "bm25_search": 1.25, "mm_exif": 0.62,
         "extract_real_pdf": 0.63, "extract_scanned": 0.66,
         "extract_orientation": 0.72, "extract_tables": 0.42,
     }
