@@ -7,13 +7,14 @@ tolerance only absorbs last-ulp noise in pre-round sums).
 """
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
