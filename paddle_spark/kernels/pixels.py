@@ -96,14 +96,27 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass origins/steps (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(p: bytes) -> np.ndarray | None:
     """PNG -> (H, W, C) uint8 array, or None when out of scope."""
     if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
         return None
     w, h = struct.unpack(">II", p[16:24])
     depth, ctype, _comp, _filt, interlace = p[24:29]
-    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
-        return None  # 16-bit / interlaced: out of scope, degrade
+    if depth != 8 or ctype not in _CHANNELS or interlace not in (0, 1):
+        # 16-bit: out of scope BY CHOICE — libpng's simplified API
+        # interprets 16-bit samples as linear light and sRGB-encodes
+        # them down to 8 bits (measured: 257 -> 20, not 1), an
+        # interpretation most gamma-encoded 16-bit files don't satisfy;
+        # the 'system'/'native' arms carry those. Adam7 interlace
+        # (interlace=1) decodes below.
+        return None
     # dimension + pixel-count guards: one hostile 10^8-px header must not
     # balloon an executor's Arrow batch (SCALE.md kernels contract)
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15) or w * h > 1 << 26:
@@ -130,11 +143,39 @@ def decode_png_pixels(p: bytes) -> np.ndarray | None:
         flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     except zlib.error:
         return None
-    stride = w * nch
-    if flat.size != h * (1 + stride):
-        return None
-    img = _unfilter(flat.reshape(h, 1 + stride), h, stride, nch)
-    img = img.reshape(h, w, nch)
+    if interlace == 1:
+        # Adam7 (PNG spec §8.2): seven sub-images, each independently
+        # filtered; lossless pixel rearrangement back into (h, w). A
+        # payload whose data does not lay out as Adam7 (wrong sizes or
+        # filter bytes landing off-grid) degrades to None, never raises.
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        try:
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = pw * nch
+                need = ph * (1 + pstride)
+                if off + need > flat.size:
+                    return None
+                sub = _unfilter(
+                    flat[off : off + need].reshape(ph, 1 + pstride),
+                    ph, pstride, nch,
+                ).reshape(ph, pw, nch)
+                img[y0::dy, x0::dx] = sub
+                off += need
+        except ValueError:
+            return None
+        if off != flat.size:
+            return None
+    else:
+        stride = w * nch
+        if flat.size != h * (1 + stride):
+            return None
+        img = _unfilter(flat.reshape(h, 1 + stride), h, stride, nch)
+        img = img.reshape(h, w, nch)
     if ctype == 3:  # palette -> RGB
         if plte is None or plte.size % 3:
             return None

@@ -444,12 +444,16 @@ def _png_scanlines(a: "np.ndarray", fts: list[int]) -> bytes:
     return bytes(raw)
 
 
-def make_png(arr, filter_types: list[int] | None = None) -> bytes:
+def make_png(
+    arr, filter_types: list[int] | None = None, interlace: bool = False
+) -> bytes:
     """A valid PNG (RFC 2083 framing: IHDR/IDAT/IEND + CRC32) from an
     (H, W), (H, W, 1|2|3|4) uint8 array. ``filter_types`` picks the
     forward scanline filter per row (cycled; default all-0) so decoder
     unfiltering paths 0-4 are exercised by construction. Color type from
-    channel count: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+    channel count: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA.
+    ``interlace=True`` emits Adam7 (PNG spec §8.2): the seven
+    sub-images serialized in pass order, each filtered independently."""
     import zlib as _zlib
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -459,9 +463,20 @@ def make_png(arr, filter_types: list[int] | None = None) -> bytes:
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([8, ctype, 0, 0, int(interlace)])
     )
-    raw = _png_scanlines(a, filter_types or [0])
+    if interlace:
+        passes = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        raw = b"".join(
+            _png_scanlines(a[y0::dy, x0::dx], filter_types or [0])
+            for x0, y0, dx, dy in passes
+            if a[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _png_scanlines(a, filter_types or [0])
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)

@@ -78,7 +78,9 @@ def test_png_out_of_scope_degrades():
     png[24] = 16          # bit depth 16 -> out of scope
     assert decode_png_pixels(bytes(png)) is None
     png = bytearray(make_png(arr))
-    png[28] = 1           # interlaced -> out of scope
+    png[28] = 1           # interlace bit on NON-interlaced data: the
+    # payload is now a corrupt Adam7 file (interlace itself is in scope
+    # since round 5c) — must degrade to None, never raise
     assert decode_png_pixels(bytes(png)) is None
     assert decode_pixels(b"\x89PNG\r\n\x1a\ntrunc") is None
     assert decode_pixels(None) is None

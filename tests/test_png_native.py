@@ -117,9 +117,11 @@ class TestWildFiles:
         assert both >= 50
         assert match == both
 
-    def test_native_superset_16bit_interlaced(self):
+    def test_native_superset_16bit(self):
         """The system arm accepts what the pure decoder degrades on
-        (16-bit / interlaced) — find any such wild file and confirm."""
+        (16-bit; libpng treats those as linear light and sRGB-encodes —
+        an interpretation the pure decoder deliberately does not
+        replicate) — find any such wild file and confirm."""
         files = sorted(glob.glob("/usr/share/**/*.png", recursive=True))
         extra = 0
         for f in files[:2000]:
@@ -127,13 +129,46 @@ class TestWildFiles:
                 p = open(f, "rb").read()
             except OSError:
                 continue
-            if len(p) > 29 and (p[24] == 16 or p[28] == 1):
+            if len(p) > 29 and p[24] == 16:
                 if decode_png_native(p) is not None:
                     assert decode_png_pixels(p) is None
                     extra += 1
             if extra >= 3:
                 break
         # corpus-dependent: nothing to assert if the host has none
+
+    def test_wild_interlaced_parity(self):
+        """8-bit Adam7 wild files: pure decoder (round-5c interlace
+        support) must agree byte-for-byte with libpng."""
+        files = sorted(glob.glob("/usr/share/**/*.png", recursive=True))
+        seen = 0
+        for f in files:
+            try:
+                p = open(f, "rb").read()
+            except OSError:
+                continue
+            if len(p) > 29 and p[28] == 1 and p[24] == 8:
+                a = decode_png_pixels(p)
+                b = decode_png_native(p)
+                if a is not None and b is not None:
+                    assert a.shape == b.shape and np.array_equal(a, b), f
+                    seen += 1
+            if seen >= 10:
+                break
+        # corpus-dependent; any found must have matched exactly
+
+    def test_synth_interlaced_parity(self):
+        rng = np.random.default_rng(5)
+        for shape in [(13, 9), (13, 9, 3), (13, 9, 4), (1, 1, 3),
+                      (7, 1, 3), (1, 7, 3), (9, 9, 2), (64, 33, 3)]:
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            p = make_png(arr, filter_types=[0, 1, 2, 3, 4] * 30,
+                         interlace=True)
+            a = decode_png_pixels(p)
+            b = decode_png_native(p)
+            assert a is not None and b is not None
+            assert np.array_equal(a, np.atleast_3d(arr))  # round-trip
+            assert np.array_equal(a, b), shape  # third-party pin
 
 
 class TestSystemCodecRoute:
