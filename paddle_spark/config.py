@@ -139,8 +139,9 @@ class ExtractConfig:
     # Pixel-decode codec for the multimodal/scanned operators:
     # 'python' (pure-Python kernels — bit-exact but ~10^2-10^3 imgs/s/core,
     # see BENCH/BASELINE.md), 'system' (ctypes system codecs where bound:
-    # libpng 6.4x/core on PNG, libwebp for lossy VP8; pure Python
-    # elsewhere — the bulk path measurable in this sandbox), 'native'
+    # libpng 6.4x/core on PNG, giflib 7.8x/core on GIF, libwebp for
+    # lossy VP8; pure Python elsewhere — the bulk path measurable in
+    # this sandbox), 'native'
     # (PIL on the cluster), or 'off' (refuse at plan construction —
     # header/metadata-only jobs). The knob exists so a 100-TB job can't
     # silently run per-bit Huffman decode.

@@ -767,14 +767,19 @@ def decoder_for(codec: str):
     if codec == "python":
         return decode_pixels
     if codec == "system":
+        from paddle_spark.kernels import gif_native
         from paddle_spark.kernels import png_native
         from paddle_spark.kernels import webp_native
 
-        if not (png_native.have_native_png() or webp_native.have_native_webp()):
+        if not (
+            png_native.have_native_png()
+            or gif_native.have_native_gif()
+            or webp_native.have_native_webp()
+        ):
             raise ImportError(
                 "pixel_codec='system' found no system codec libraries "
-                "(libpng16 / libwebp) on this host; choose 'python' "
-                "(pure, slower) or 'native' (PIL)"
+                "(libpng16 / libgif / libwebp) on this host; choose "
+                "'python' (pure, slower) or 'native' (PIL)"
             )
 
         def _system(p: bytes | None) -> np.ndarray | None:
@@ -783,6 +788,10 @@ def decoder_for(codec: str):
             try:
                 if p[:8] == b"\x89PNG\r\n\x1a\n":
                     out = png_native.decode_png_native(p)
+                    if out is not None:
+                        return out
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    out = gif_native.decode_gif_native(p)
                     if out is not None:
                         return out
                 return decode_pixels(p)
