@@ -66,6 +66,29 @@ class TestSynthParity:
         assert decode_gif_native(p[: len(p) // 2]) is None
 
 
+class TestFuzz:
+    def test_fuzz_never_crashes_worker(self):
+        """giflib reports malformed data via GIF_ERROR return codes, so
+        a mutated payload can never take down the executor's python
+        worker — decode returns an array or None, nothing else."""
+        import random
+
+        rng = random.Random(29)
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        base = bytearray(
+            make_gif(
+                np.arange(64, dtype=np.uint8).reshape(8, 8) % 16, pal,
+                interlace=True,
+            )
+        )
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = decode_gif_native(bytes(b))
+            assert out is None or isinstance(out, np.ndarray)
+
+
 class TestWildFiles:
     def test_wild_corpus_byte_identity(self):
         files = sorted(glob.glob("/usr/share/**/*.gif", recursive=True))

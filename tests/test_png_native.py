@@ -77,6 +77,25 @@ class TestSynthParity:
         p = make_png(arr)
         assert decode_png_native(p[: len(p) // 2]) is None
 
+    def test_fuzz_never_crashes_worker(self):
+        """The whole point of the simplified API: libpng errors come
+        back as return codes (setjmp stays inside the library), so a
+        mutated payload can NEVER take down the executor's python
+        worker — decode returns an array or None, nothing else."""
+        rng = random.Random(23)
+        base = bytearray(
+            make_png(
+                np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
+                filter_types=[0, 1, 2, 3, 4],
+            )
+        )
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = decode_png_native(bytes(b))
+            assert out is None or isinstance(out, np.ndarray)
+
     def test_hostile_dimension_guard(self):
         # a forged 40000x40000 header must be refused BEFORE allocation,
         # mirroring decode_png_pixels' guard
