@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from paddle_spark.kernels.classify import IMAGE_MAGICS, PDF_MAGIC
+from paddle_spark.kernels.classify import (
+    BMP_DIB_SIZES,
+    IMAGE_MAGICS,
+    PDF_MAGIC,
+)
 
 
 def payload_kind_col(html: Column) -> Column:
@@ -25,6 +29,14 @@ def payload_kind_col(html: Column) -> Column:
     img = F.lit(False)
     for magic in IMAGE_MAGICS:
         img = img | (F.substring(html, 1, len(magic)) == F.lit(magic))
+    # BMP: compound check mirroring the kernel ('BM' + known DIB header
+    # size at 1-indexed offset 15) — the NUL bytes in the size field keep
+    # ASCII text from ever matching
+    is_bmp = F.substring(html, 1, 2) == F.lit(b"BM")
+    dib = F.lit(False)
+    for size in BMP_DIB_SIZES:
+        dib = dib | (F.substring(html, 15, 4) == F.lit(size))
+    img = img | (is_bmp & dib)
     # RIFF containers split on the form type at bytes 9..12 (1-indexed)
     is_riff = F.substring(html, 1, 4) == F.lit(b"RIFF")
     riff_form = F.substring(html, 9, 4)

@@ -23,6 +23,12 @@ IMAGE_MAGICS = (
     b"II*\x00",               # TIFF little-endian
     b"MM\x00*",               # TIFF big-endian
 )
+# BMP needs a compound check ('BM' + known DIB header size at offset 14);
+# the valid DIB sizes as little-endian uint32 bytes (BITMAPCOREHEADER
+# through BITMAPV5HEADER — the set decode_bmp_pixels accepts, plus core)
+BMP_DIB_SIZES = tuple(
+    n.to_bytes(4, "little") for n in (12, 40, 52, 56, 64, 108, 124)
+)
 # RIFF containers disambiguate on the form type at bytes 8:12
 RIFF_FORMS = {
     b"WEBP": "image",
@@ -53,6 +59,12 @@ def classify_payload(payload: bytes | None) -> str:
     for magic in IMAGE_MAGICS:
         if payload[: len(magic)] == magic:
             return KIND_IMAGE
+    # BMP: 'BM' alone is a 2-byte magic (too weak — ASCII text can start
+    # with it), so require a known DIB header size at offset 14; those
+    # little-endian uint32 values contain NUL bytes, which plain text
+    # never does, making the combined check soup-proof.
+    if payload[:2] == b"BM" and payload[14:18] in BMP_DIB_SIZES:
+        return KIND_IMAGE
     if payload[:4] == b"RIFF":
         return RIFF_FORMS.get(payload[8:12], KIND_GARBAGE)
     if payload[:4] == b".snd":

@@ -1186,6 +1186,48 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> None:
     writer.close()
 
 
+def gen_media_row(i: int) -> bytes:
+    """Deterministic mixed-codec media payload for index ``i``: noisy
+    (non-trivially-compressible) 64-160 px image, cycling PNG / BMP /
+    JPEG-gray / GIF / TIFF-LZW / WEBP-lossless — one of each codec the
+    pure pixel decoders handle (same recipe as bench.py's image
+    corpus)."""
+    rng = np.random.RandomState(i)
+    w, h = 64 + (i * 13) % 97, 64 + (i * 17) % 97
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    k = i % 6
+    if k == 0:
+        return make_png(img, filter_types=[0, 1, 2, 3, 4])
+    if k == 1:
+        return make_bmp(img)
+    if k == 2:
+        return make_jpeg(img[:, :, 0])
+    if k == 3:
+        return make_gif(img[:, :, 0] % 64, np.arange(192).reshape(64, 3))
+    if k == 4:
+        return make_tiff(img, compression="lzw", rows_per_strip=32)
+    return make_webp(img, subtract_green=True)
+
+
+def gen_media_spark(spark, n_rows: int, n_partitions: int = 8, start: int = 0):
+    """Distributed (media_id, payload) corpus via gen_media_row — each
+    partition synthesizes its own index range, no driver materialization."""
+    from pyspark.sql import functions as F
+
+    bounds = spark.range(start, start + n_rows, 1, n_partitions).select(
+        F.col("id").cast("long").alias("i")
+    )
+
+    def gen_batch(it):
+        for pdf in it:
+            ids = [int(i) for i in pdf["i"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [gen_media_row(i) for i in ids]}
+            )
+
+    return bounds.mapInPandas(gen_batch, schema="media_id long, payload binary")
+
+
 def gen_pages_spark(
     spark, n_rows: int, seed: int = 42, n_partitions: int = 8, start: int = 0
 ):

@@ -9,6 +9,16 @@ def test_magic_bytes():
     assert classify_payload(b"\xff\xd8\xffdata") == "image"
     assert classify_payload(b"GIF89aabc") == "image"
     assert classify_payload(b"II*\x00tiff") == "image"
+    # BMP: 'BM' + valid DIB header size at offset 14 -> image; 'BM' with
+    # text after it (no NUL-bearing size field) must stay garbage
+    from paddle_spark.sources.synth import make_bmp
+    import numpy as np
+
+    assert classify_payload(
+        make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    ) == "image"
+    assert classify_payload(b"BMW dealers near me, plain text") == "garbage"
+    assert classify_payload(b"BM\x00\x00") == "garbage"  # truncated
     assert classify_payload(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image"
     assert classify_payload(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio"
     assert classify_payload(b"RIFF\x00\x00\x00\x00AVI LIST") == "video"
@@ -35,6 +45,8 @@ def test_column_twin_parity(spark):
         b"\n<!DOCTYPE html><body>x</body>", b"\t\r\n<html>", b"\x0b\x0c<html>",
         b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xffdata", b"GIF89aabc",
         b"II*\x00tiff", b"\x00\x01binary", b"", b"plain text not html",
+        b"BM" + bytes(12) + (40).to_bytes(4, "little") + bytes(8),
+        b"BMW dealers near me, plain text", b"BM\x00\x00",
         b"RIFF\x00\x00\x00\x00WEBPVP8 ", b"RIFF\x00\x00\x00\x00WAVEfmt ",
         b"RIFF\x00\x00\x00\x00AVI LIST", b"RIFF\x00\x00\x00\x00ACONanih",
         b"RIFF\x00\x00",
