@@ -753,7 +753,9 @@ def decoder_for(codec: str):
     - ``system``: system shared-library codecs through ctypes where
       bound — PNG via libpng (kernels/png_native.py, byte-identical to
       the pure decoder on its shared domain and a superset beyond it:
-      16-bit, interlaced), WebP via libwebp (already inside
+      16-bit, interlaced), GIF via giflib, TIFF via libtiff
+      (kernels/tiff_native.py — adds tiled/planar/16-bit/fax layouts the
+      pure decoder degrades on), WebP via libwebp (already inside
       decode_pixels' dispatch) — pure Python for everything else. The
       bulk path that is MEASURABLE in this sandbox (no PIL here); raises
       ImportError when no system codec library is present at all.
@@ -769,17 +771,19 @@ def decoder_for(codec: str):
     if codec == "system":
         from paddle_spark.kernels import gif_native
         from paddle_spark.kernels import png_native
+        from paddle_spark.kernels import tiff_native
         from paddle_spark.kernels import webp_native
 
         if not (
             png_native.have_native_png()
             or gif_native.have_native_gif()
             or webp_native.have_native_webp()
+            or tiff_native.have_native_tiff()
         ):
             raise ImportError(
                 "pixel_codec='system' found no system codec libraries "
-                "(libpng16 / libgif / libwebp) on this host; choose "
-                "'python' (pure, slower) or 'native' (PIL)"
+                "(libpng16 / libgif / libwebp / libtiff) on this host; "
+                "choose 'python' (pure, slower) or 'native' (PIL)"
             )
 
         def _system(p: bytes | None) -> np.ndarray | None:
@@ -792,6 +796,10 @@ def decoder_for(codec: str):
                         return out
                 elif p[:6] in (b"GIF87a", b"GIF89a"):
                     out = gif_native.decode_gif_native(p)
+                    if out is not None:
+                        return out
+                elif p[:4] in (b"II*\x00", b"MM\x00*"):
+                    out = tiff_native.decode_tiff_native(p)
                     if out is not None:
                         return out
                 return decode_pixels(p)
