@@ -802,6 +802,15 @@ def decoder_for(codec: str):
                     out = tiff_native.decode_tiff_native(p)
                     if out is not None:
                         return out
+                elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                    # libwebp handles VP8L too (parity-pinned byte-
+                    # identical to the pure decoder in test_webp) —
+                    # under 'system' both lossy AND lossless ride it.
+                    out = webp_native.decode_webp_native(p)
+                    if out is not None:
+                        if out.shape[2] == 4 and out[:, :, 3].min() == 255:
+                            out = np.ascontiguousarray(out[:, :, :3])
+                        return out
                 return decode_pixels(p)
             except Exception:
                 return None

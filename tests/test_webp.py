@@ -298,3 +298,20 @@ class TestNativeLossyArm:
                 assert (nat[:, :, 3] == 255).all()
                 nat = nat[:, :, :3]
             assert np.array_equal(pure, nat)
+
+    def test_system_route_sends_lossless_webp_through_libwebp(self):
+        """decoder_for('system') routes VP8L through libwebp (not the
+        pure decoder) and the output stays byte-identical — the round-5d
+        routing change that took the mixed-corpus system rate from 86 to
+        234 imgs/s/core (BENCH/BASELINE.md)."""
+        from paddle_spark.kernels.pixels import decode_pixels, decoder_for
+        from paddle_spark.kernels.webp_native import have_native_webp
+
+        if not have_native_webp():
+            pytest.skip("no system libwebp")
+        dec = decoder_for("system")
+        rng = np.random.RandomState(12)
+        for sg in (False, True):
+            p = make_webp(rng.randint(0, 256, (19, 23, 3), dtype=np.uint8),
+                          subtract_green=sg)
+            assert np.array_equal(dec(p), decode_pixels(p))
