@@ -39,16 +39,71 @@ SF0001 = "/root/testdata/sf0.001"
 # natively — the repartition below is a no-op guard, not a design shuffle.
 _FAN_OUT = {"documents", "embeddings", "events", "lineitem", "orders"}
 
+# Deterministic high-cardinality key per fact table: the fan-out guard
+# hash-partitions on it instead of round-robin. Round-robin repartition
+# pays a local sort of its whole input before assigning rows
+# (spark.sql.execution.sortBeforeRepartition, guide §2.5) — on a
+# single-split scan that sort is serial; a hash exchange on the PK is
+# not, and it is retry-deterministic by construction.
+_FAN_KEY = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# parquet footer metadata per fixture path (driver-side, cached: counting
+# row groups costs one footer read)
+_ROW_GROUPS: dict[str, int] = {}
+
+
+def _scan_row_groups(path: str) -> int:
+    """Total parquet row groups under a local fixture path (0 = unknown).
+    The row group is parquet's split unit: a single-file fixture with one
+    row group can never scan in parallel, while one with >= N row groups
+    scans N-way once spark.sql.files.minPartitionNum shrinks the split
+    size (paddle_spark.plans.build_session sets that floor)."""
+    if path not in _ROW_GROUPS:
+        n = 0
+        try:
+            import pyarrow.parquet as pq
+
+            local = path[5:] if path.startswith("file:") else path
+            if os.path.isdir(local):
+                for f in os.listdir(local):
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(local, f)
+                        ).metadata.num_row_groups
+            elif os.path.exists(local):
+                n = pq.ParquetFile(local).metadata.num_row_groups
+        except Exception:
+            n = 0
+        _ROW_GROUPS[path] = n
+    return _ROW_GROUPS[path]
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name in _FAN_OUT:
         # One input file ≈ one row group ≈ one scan partition for these
         # small fixtures; fan out so per-row-heavy queries parallelize.
         # (inputFiles, not df.rdd.getNumPartitions — stay off the RDD API.)
         p = spark.sparkContext.defaultParallelism
+        if _scan_row_groups(path) >= max(2, p // 8):
+            # enough row groups: the scan itself parallelizes (split-size
+            # floor in build_session) and map-side partial aggregation
+            # runs in the scan stage — no shuffle at all (guide §2.4)
+            return df
         if len(df.inputFiles()) < max(2, p // 4):
-            df = df.repartition(p)
+            # ``key`` lets a caller align the fan-out with its downstream
+            # window/groupBy key so both share ONE exchange (guide §2.4);
+            # default is the table PK (hash, not round-robin: see _FAN_KEY)
+            df = df.repartition(p, F.col(key or _FAN_KEY[name]))
     return df
 
 
@@ -605,7 +660,7 @@ def q_above_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/D4: duplicate keys collapse, last (latest) wins."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -634,7 +689,7 @@ FROM (
 def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: order-sensitive string concat per group (the per-page block
     concat re-expressed relationally: string_agg ... ORDER BY)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     return (
         ev.groupBy("user_id")
         .agg(
@@ -896,7 +951,7 @@ SELECT DISTINCT ck FROM (
 
 def q_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: monotone numbering within a document (page_index analog)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", key="o_custkey")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
@@ -914,7 +969,7 @@ FROM orders
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: top-k (page limit analog) per group."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", key="o_custkey")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.withColumn("rk", F.row_number().over(w))
@@ -958,7 +1013,7 @@ def q_continuation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     union stays one representation (NaN) in every comparator — NULL
     booleans render as None vs NaN between Arrow and DuckDB pandas
     bridges."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wn = W.partitionBy("user_id")
     return ev.select(
@@ -980,7 +1035,7 @@ FROM events
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min opens a session (lag + running sum)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -1725,20 +1780,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_tokens / text_quality / text_fingerprint driver entries (same
     operators, one driver row; the per-operator pytest suites in
     test_textstats keep the fine-grained pins)."""
-    from paddle_spark.operators.textstats import (
-        bpe_token_count_col,
-        fingerprint,
-        quality_features,
-    )
+    from paddle_spark.operators.textstats import text_stats_frame
 
+    # r6: the former quality ⋈ fingerprint ⋈ bpe three-scan/two-join plan
+    # collapsed into one map-only select (guide §2.3/§2.4; all three are
+    # per-row Column math over the same unique-id table — results
+    # bit-identical, plan goes 3 scans + 3 exchanges + 2 joins -> 1 scan)
     d = _t(spark, sf_dir, "documents")
-    q = quality_features(d)
-    fp = fingerprint(d).select("doc_id", "fp_sha256")
-    bpe = d.select(
-        "doc_id",
-        bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens"),
-    )
-    return q.join(fp, "doc_id").join(bpe, "doc_id")
+    return text_stats_frame(d)
 
 
 def _sw_list(lang: str) -> str:

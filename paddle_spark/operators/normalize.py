@@ -122,7 +122,9 @@ def norm_key_col(text: Column) -> Column:
     accents -> lower -> alphanumerics only -> collapse whitespace."""
     base = strip_accents_col(nfc_col(clean_text_col(text)))
     k = F.lower(base)
-    k = F.regexp_replace(k, r"[^a-z0-9\s]", " ")
+    # intersection form of [^a-z0-9\s]: identical set, ~9x faster under
+    # java.util.regex (see textstats.fingerprint_norm_col)
+    k = F.regexp_replace(k, r"[\S&&[^a-z0-9]]", " ")
     return F.trim(F.regexp_replace(k, r"\s+", " "))
 
 

@@ -64,17 +64,10 @@ def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
-def quality_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Quality-scoring features: length, token count, mean word length,
-    punctuation ratio, stopword ratio, uppercase ratio + composite score.
-
-    The composite mirrors the shape of C4/Gopher-style quality filters:
-    reward stopword presence and sane word lengths, punish extreme
-    punctuation/shortness.
-    """
-    text = F.col(text_col)
+def _quality_cols(text: Column) -> list[Column]:
+    """The aliased output columns of ``quality_features`` (shared with
+    ``text_stats_frame`` so the consolidated select stays expression-
+    identical to the joined form)."""
     n_chars = F.length(text)
     toks = token_count_col(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
@@ -102,8 +95,7 @@ def quality_features(
         ),
         4,
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.cast("long").alias("n_chars"),
         toks.cast("long").alias("n_tokens"),
         mean_wlen.alias("mean_word_len"),
@@ -111,6 +103,37 @@ def quality_features(
         upper_ratio.alias("upper_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
+    ]
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-scoring features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio + composite score.
+
+    The composite mirrors the shape of C4/Gopher-style quality filters:
+    reward stopword presence and sane word lengths, punish extreme
+    punctuation/shortness.
+    """
+    return df.select(F.col(id_col), *_quality_cols(F.col(text_col)))
+
+
+def fingerprint_norm_col(text: Column) -> Column:
+    """The fingerprint normalization (lowercase, punctuation stripped,
+    whitespace collapsed) as a reusable Column."""
+    # [\S&&[^a-z0-9]] is the intersection form of [^a-z0-9\s] — the same
+    # character set (not(\s or a-z or 0-9) == \S and not(a-z0-9)), but
+    # ~9x faster under java.util.regex: a complemented UNION of ranges
+    # drops Pattern's single-node match loop while the intersection form
+    # keeps it (measured 2.25s -> 0.25s over 50k docs at local[32];
+    # equality pinned by tests/test_textstats.py).
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[\S&&[^a-z0-9]]", ""),
+            r"\s+",
+            " ",
+        )
     )
 
 
@@ -120,17 +143,32 @@ def fingerprint(
     """Document fingerprint: sha256 over the normalized text (lowercase,
     punctuation stripped, whitespace collapsed) + a fast 64-bit rolling
     hash (xxhash64) for cheap equality checks."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    norm = fingerprint_norm_col(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.sha2(norm, 256).alias("fp_sha256"),
         F.xxhash64(norm).alias("fp_xx64"),
+    )
+
+
+def text_stats_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """quality_features ⋈ fingerprint(sha) ⋈ bpe-token-count collapsed
+    into ONE map-only select (guide §2.3/§2.4): the three frames are all
+    per-row Column math over the same table, so joining them cost two
+    extra corpus scans and two joins for nothing. Column names, order and
+    values are exactly those of
+    ``quality_features(df).join(fingerprint(df)[id, fp_sha256], id)
+    .join(df[id, n_bpe_tokens], id)`` — the r5 driver entry — and every
+    row of a unique-id table appears exactly once either way, so results
+    are bit-identical."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *_quality_cols(text),
+        F.sha2(fingerprint_norm_col(text), 256).alias("fp_sha256"),
+        bpe_token_count_col(text).cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -52,6 +52,16 @@ def build_session(
         # corpus is scan-dominated; at 100 TB you'd pick per-table (zstd for
         # cold archival, snappy/lz4 for hot extraction inputs).
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Scan-parallelism floor (guide §6 / §2.4): Spark caps the split
+        # size at totalBytes/minPartitionNum, so a multi-row-group file
+        # scans in parallel WITHOUT a repartition shuffle. Scale-adaptive
+        # by construction — at real scale maxPartitionBytes dominates and
+        # this floor is a no-op; on single-file fixtures it is what lets
+        # query plans drop their round-robin fan-out exchange.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITIONS", str(n)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

@@ -64,6 +64,56 @@ def test_fingerprint_normalization(spark):
     assert out[4]["fp_sha256"] != out[1]["fp_sha256"]
 
 
+def test_fingerprint_class_intersection_form(spark):
+    """The r6 fast regex ([\\S&&[^a-z0-9]]) strips exactly the same
+    characters as the naive complemented union ([^a-z0-9\\s]) — pinned
+    over adversarial inputs: controls, whitespace family, unicode,
+    surrogates, full ASCII sweep."""
+    import random
+
+    rng = random.Random(7)
+    samples = [
+        "", "abc 123", "ABC!@# \t\n\x0b\x0c\rxyz", "áé日本語🙂",
+        "".join(chr(i) for i in range(1, 128)),
+        "".join(chr(rng.randrange(1, 0x2FFF)) for _ in range(500)),
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 🙂🙃 a0 z9",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    naive = F.regexp_replace(F.col("s"), r"[^a-z0-9\s]", "")
+    fast = F.regexp_replace(F.col("s"), r"[\S&&[^a-z0-9]]", "")
+    assert (
+        df.select(naive.alias("a"), fast.alias("b"))
+        .filter("a != b")
+        .count()
+        == 0
+    )
+
+
+def test_text_stats_frame_matches_joined_form(documents):
+    """text_stats_frame (one select) == quality ⋈ fingerprint ⋈ bpe (the
+    r5 three-frame join) row for row."""
+    joined = (
+        TS.quality_features(documents)
+        .join(TS.fingerprint(documents).select("doc_id", "fp_sha256"), "doc_id")
+        .join(
+            documents.select(
+                "doc_id",
+                TS.bpe_token_count_col(F.col("text"))
+                .cast("long")
+                .alias("n_bpe_tokens"),
+            ),
+            "doc_id",
+        )
+    )
+    one = TS.text_stats_frame(documents)
+    assert one.columns == joined.columns
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+
+
 def test_on_documents_table(documents):
     q = TS.quality_features(documents)
     rows = q.collect()
