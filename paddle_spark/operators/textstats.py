@@ -339,7 +339,7 @@ def c4_signals(
         lt = F.trim(l)
         return (
             F.substring(lt, -1, 1).isin(".", "!", "?", '"')
-            & (F.size(F.filter(F.split(lt, r"\s+"), lambda w: w != "")) >= 5)
+            & (F.size(F.array_remove(F.split(lt, r"\s+"), "")) >= 5)
             & (F.instr(F.lower(l), "javascript") == 0)
         )
 

@@ -274,3 +274,50 @@ class TestSpanDedup:
         b = {r["doc_id"]: r["clean_text"]
              for r in span_dedup(df.repartition(16), k=4).collect()}
         assert a == b
+
+
+def test_words_col_array_remove_equivalence(spark):
+    """r6 words_col (array_remove form) == the lambda-filter form on
+    adversarial inputs: empty, blank, mixed whitespace, None."""
+    from pyspark.sql import functions as F
+
+    samples = ["", "  ", "a b", " a  b ", "\t\na\r\nb\x0b", None, "one",
+               "x " * 200]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    old = F.filter(F.split(F.trim(F.col("s")), r"\s+"), lambda w: w != "")
+    new = D.words_col(F.col("s"))
+    assert (
+        df.select(old.alias("a"), new.alias("b"))
+        .filter("NOT (a <=> b)")
+        .count()
+        == 0
+    )
+
+
+def test_shingles_col_zip_form_equivalence(spark):
+    """r6 shingles_col (arrays_zip form) == the per-index slice transform
+    on short/edge/long docs for k in {2, 3, 5}."""
+    from pyspark.sql import functions as F
+
+    samples = ["", "one", "one two", "one two three", "a b c d e f g",
+               " pad  ded   tokens ", "w " * 100, None]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    for k in (2, 3, 5):
+        ws = D.words_col(F.col("s"))
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        old = F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+        new = D.shingles_col(F.col("s"), k)
+        assert (
+            df.select(old.alias("a"), new.alias("b"))
+            .filter("NOT (a <=> b)")
+            .count()
+            == 0
+        ), f"k={k}"
