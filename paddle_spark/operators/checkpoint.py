@@ -192,7 +192,12 @@ def run_extract_job(
     # lineage that also makes the metrics read below EXACT (stale partitions
     # left in a reused output dir by an earlier run can never be attributed
     # to this run, even for buckets this run's input does not cover).
-    extracted = extract_pages(todo, cfg, n_partitions).withColumn(
+    # shuffle=True (not auto): this path WRITES partitionBy(bucket), so
+    # the salted repartition doubles as output clustering — without it
+    # every task would emit a file into every bucket directory (the
+    # small-files trap, guide §6). The auto-skip is for noop/analysis
+    # consumers, not the partitioned sink.
+    extracted = extract_pages(todo, cfg, n_partitions, shuffle=True).withColumn(
         "run_id", F.lit(run_id)
     )
     write_extracted(extracted, output_path, output_table)

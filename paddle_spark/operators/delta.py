@@ -119,7 +119,9 @@ def delta_extract(
     todo = new_keyed.join(prev.select(*_KEY), _KEY, "left_anti")
     if definitely_new is not None:
         todo = todo.unionByName(definitely_new)
-    fresh = extract_pages(todo.drop("payload_xxh"), cfg, n_partitions)
+    # shuffle=True: delta outputs feed the same partitionBy(bucket) sink
+    # as full runs — keep the salted clustering (see checkpoint.py)
+    fresh = extract_pages(todo.drop("payload_xxh"), cfg, n_partitions, shuffle=True)
     return carried.unionByName(fresh)
 
 

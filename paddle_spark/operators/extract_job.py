@@ -133,12 +133,23 @@ def extract_pages(
     pages: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
+    shuffle: bool | None = None,
 ) -> DataFrame:
     """Declare the extraction plan over a `pages` DataFrame.
 
     ``n_partitions`` defaults to ``cfg.n_buckets`` — on a real cluster set
     it to ~2-3x total cores; AQE cannot resize this map stage, so the
     repartition width is the parallelism knob.
+
+    ``shuffle`` controls the salted repartition ahead of the kernel stage:
+    ``True`` forces it (skew defense for inputs clustered by host/crawl
+    order), ``False`` skips it, and the default ``None`` skips it only
+    when the incoming frame already has at least ``min(n_partitions,
+    defaultParallelism)`` partitions — a well-sharded corpus then flows
+    scan -> kernel with NO shuffle of the payload bytes at all (guide
+    §2.4/§8: the extraction output is per-row pure, so partitioning can
+    never change results — oracle-pinned). The shuffle stays the default
+    whenever the input arrives in few or skewed partitions.
     """
     n_parts = n_partitions or cfg.n_buckets
     # WET conversion rows (html null, text pre-extracted by the crawl)
@@ -167,9 +178,18 @@ def extract_pages(
             else F.col("html")
         ).alias("payload_xxh"),
     )
-    # The one shuffle: salted url-hash. Bucket count (lineage granularity)
-    # and partition count (parallelism) are decoupled on purpose.
-    src = src.repartition(n_parts, "bucket", "url")
+    if shuffle is None:
+        try:
+            incoming = pages.rdd.getNumPartitions()
+            p = pages.sparkSession.sparkContext.defaultParallelism
+            shuffle = incoming < min(n_parts, p)
+        except Exception:
+            shuffle = True
+    if shuffle:
+        # The one shuffle: salted url-hash. Bucket count (lineage
+        # granularity) and partition count (parallelism) are decoupled on
+        # purpose.
+        src = src.repartition(n_parts, "bucket", "url")
     return src.mapInPandas(make_extract_batch(cfg), schema=EXTRACTED_SCHEMA)
 
 

@@ -91,7 +91,7 @@ def test_extraction_partitions_balanced(spark, tiny_pages):
     (mapInPandas work is balanced even with a dominant host)."""
     from paddle_spark.operators.extract_job import extract_pages
 
-    out = extract_pages(tiny_pages, n_partitions=8).withColumn(
+    out = extract_pages(tiny_pages, n_partitions=8, shuffle=True).withColumn(
         "pid", F.spark_partition_id()
     )
     counts = [r["count"] for r in out.groupBy("pid").count().collect()]
