@@ -35,8 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gen", type=int, default=0,
                     help="synthesize N mixed-codec images instead")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--codec", default="python",
-                    choices=["python", "system", "native", "fake"])
+    ap.add_argument("--codec", default="auto",
+                    choices=["auto", "python", "system", "native", "fake"])
     ap.add_argument("--features", action="store_true",
                     help="also write dhash + histogram visual features")
     ap.add_argument("--max-dim", type=int, default=640)
@@ -82,7 +82,13 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("decode_ok"))
             .count()
         )
-    if args.features:
+    if args.features and args.codec == "fake":
+        # visual_features has no digest stand-in arm (decoder_for knows
+        # no 'fake'); skip it like the pixel stage does instead of
+        # crashing on a flag combination the CLI accepts
+        print("skipping --features: codec='fake' has no pixel decode",
+              file=sys.stderr)
+    if args.features and args.codec != "fake":
         feats = visual_features(media, codec=args.codec)
         feats.write.mode("overwrite").parquet(
             os.path.join(args.output, "features")

@@ -137,15 +137,17 @@ class ExtractConfig:
     # (ReadSchema excludes text).
     wet_passthrough: bool = False
     # Pixel-decode codec for the multimodal/scanned operators:
-    # 'python' (pure-Python kernels — bit-exact but ~10^2-10^3 imgs/s/core,
-    # see BENCH/BASELINE.md), 'system' (ctypes system codecs where bound:
+    # 'auto' (r6 default: the 'system' arm when any shared library is
+    # bound — byte-identical to the pure decoders on their shared domain,
+    # parity-pinned per format — else pure Python), 'python' (pure-Python
+    # kernels — bit-exact but ~10^2-10^3 imgs/s/core, see
+    # BENCH/BASELINE.md), 'system' (ctypes system codecs where bound:
     # libpng 6.4x/core on PNG, giflib 7.8x/core on GIF, libwebp for
-    # lossy VP8; pure Python elsewhere — the bulk path measurable in
-    # this sandbox), 'native'
+    # lossy VP8; raises when no library is present), 'native'
     # (PIL on the cluster), or 'off' (refuse at plan construction —
     # header/metadata-only jobs). The knob exists so a 100-TB job can't
     # silently run per-bit Huffman decode.
-    pixel_codec: str = "python"
+    pixel_codec: str = "auto"
     # Scanned-PDF fallback: pages with no text layer but embedded image
     # XObjects run the deterministic OCR chain (kernels/scan.py) over the
     # decoded page images. On by default: born-digital pages never reach

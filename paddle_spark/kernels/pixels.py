@@ -768,6 +768,18 @@ def decoder_for(codec: str):
     """
     if codec == "python":
         return decode_pixels
+    if codec == "auto":
+        # Production default (r6): the system-codec arm when any shared
+        # library is bound — byte-identical to the pure decoders on their
+        # shared domain (parity-pinned per format) and 6-31x faster per
+        # core — falling back to the pure-Python codecs on hosts with no
+        # system libraries. The explicit names remain for oracle parity
+        # runs ('python') and hard requirements ('system'/'native' raise
+        # instead of degrading).
+        try:
+            return decoder_for("system")
+        except ImportError:
+            return decode_pixels
     if codec == "system":
         from paddle_spark.kernels import gif_native
         from paddle_spark.kernels import png_native

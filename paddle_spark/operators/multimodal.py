@@ -157,7 +157,7 @@ def visual_features(
     payload_col: str = "payload",
     bins: int = 4,
     hash_size: int = 8,
-    codec: str = "python",
+    codec: str = "auto",
 ) -> DataFrame:
     """DETERMINISTIC visual features from REAL decoded pixels — the
     pixel-derived replacement for decode_fake's digest stand-in, feeding
@@ -237,7 +237,7 @@ def visual_near_dups(
     n_bands: int = 4,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    codec: str = "python",
+    codec: str = "auto",
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs at scale: banded Hamming join over the
     pixel dhash (visual_features). The 64-bit hash splits into
@@ -310,7 +310,7 @@ def pixel_stats(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_dim: int = 6000,
-    codec: str = "python",
+    codec: str = "auto",
 ) -> DataFrame:
     """REAL pixel decode (PNG/BMP/GIF/JPEG/TIFF, kernels/pixels.py +
     kernels/jpeg.py) through the reference's frame preprocessing —
@@ -391,7 +391,7 @@ def frame_sample(
     max_frames: int = 8,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    codec: str = "python",
+    codec: str = "auto",
 ) -> DataFrame:
     """Frame sampling over animated payloads (U5-style fan-out: 1 media
     row -> N sampled-frame rows). Frame count comes from the header walk
@@ -612,7 +612,7 @@ def video_frames(
     max_frames: int = 8,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    codec: str = "python",
+    codec: str = "auto",
 ) -> DataFrame:
     """Video frame sampling over AVI/MJPEG binary columns — the video
     side of frame_sample's fan-out (1 media row -> N sampled frames):

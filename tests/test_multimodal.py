@@ -306,3 +306,62 @@ def test_dhash_near_dup_recall_and_separation(spark):
         for b in range(a + 1, n_pairs)
     ]
     assert sum(1 for d in far if d > 3) >= int(0.95 * len(far)), sorted(far)[:5]
+
+
+def test_auto_codec_fallback_and_identity(spark, monkeypatch):
+    """codec='auto' (the r6 default) resolves to the system arm when any
+    codec library is bound and byte-falls-back to the pure decoders when
+    none is; operator rows are identical either way (the per-format
+    byte-identity pins lifted to the operator level)."""
+    import numpy as np
+    import pandas as pd
+
+    from paddle_spark.kernels import (
+        gif_native, png_native, tiff_native, webp_native,
+    )
+    from paddle_spark.kernels.pixels import decode_pixels, decoder_for
+
+    # fallback: no system libs -> auto IS the pure decoder
+    monkeypatch.setattr(png_native, "have_native_png", lambda: False)
+    monkeypatch.setattr(gif_native, "have_native_gif", lambda: False)
+    monkeypatch.setattr(webp_native, "have_native_webp", lambda: False)
+    monkeypatch.setattr(tiff_native, "have_native_tiff", lambda: False)
+    assert decoder_for("auto") is decode_pixels
+    monkeypatch.undo()
+
+    from paddle_spark.sources.synth import (
+        make_bmp, make_gif, make_jpeg, make_png, make_tiff, make_webp,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"].tolist()]
+            payloads = []
+            for i in ids:
+                rng = np.random.RandomState(i)
+                img = rng.randint(0, 256, (40 + i % 9, 40 + i % 7, 3),
+                                  dtype=np.uint8)
+                k = i % 6
+                if k == 0:
+                    payloads.append(make_png(img, filter_types=[0, 1, 2, 3, 4]))
+                elif k == 1:
+                    payloads.append(make_bmp(img))
+                elif k == 2:
+                    payloads.append(make_jpeg(img[:, :, 0]))
+                elif k == 3:
+                    payloads.append(make_gif(img[:, :, 0] % 64,
+                                             np.arange(192).reshape(64, 3)))
+                elif k == 4:
+                    payloads.append(make_tiff(img, compression="lzw",
+                                              rows_per_strip=16))
+                else:
+                    payloads.append(make_webp(img, subtract_green=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(0, 48, 1, 4).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    a = sorted(map(tuple, MM.pixel_stats(media, max_dim=64).collect()))
+    b = sorted(map(tuple,
+                   MM.pixel_stats(media, max_dim=64, codec="python").collect()))
+    assert a == b
