@@ -756,13 +756,14 @@ def decoder_for(codec: str):
       16-bit, interlaced), GIF via giflib, TIFF via libtiff
       (kernels/tiff_native.py — adds tiled/planar/16-bit/fax layouts the
       pure decoder degrades on), WebP via libwebp (already inside
-      decode_pixels' dispatch) — pure Python for everything else. The
-      bulk path that is MEASURABLE in this sandbox (no PIL here); raises
-      ImportError when no system codec library is present at all.
-      (JPEG stays pure-Python under 'system': classic libjpeg's
-      setjmp/longjmp error contract cannot be expressed safely through
-      ctypes — a decode error would exit() the executor's python
-      worker. PIL wraps it correctly; that is what 'native' is for.)
+      decode_pixels' dispatch), JPEG via a compiled libjpeg shim
+      (kernels/jpeg_native.py: C-side entropy decode feeding the pure
+      decoder's own NumPy reconstruction, so pixels are byte-identical
+      by construction; the shim owns libjpeg's setjmp error contract
+      entirely inside C — the reason plain ctypes could not bind
+      libjpeg) — pure Python for everything else. The bulk path that is
+      MEASURABLE in this sandbox (no PIL here); raises ImportError when
+      no system codec library is present at all.
     - ``off``: refuse pixel decode at plan-construction time — the guard
       for jobs that only need headers/metadata (kernels/raster.py).
     """
@@ -782,6 +783,7 @@ def decoder_for(codec: str):
             return decode_pixels
     if codec == "system":
         from paddle_spark.kernels import gif_native
+        from paddle_spark.kernels import jpeg_native
         from paddle_spark.kernels import png_native
         from paddle_spark.kernels import tiff_native
         from paddle_spark.kernels import webp_native
@@ -791,11 +793,13 @@ def decoder_for(codec: str):
             or gif_native.have_native_gif()
             or webp_native.have_native_webp()
             or tiff_native.have_native_tiff()
+            or jpeg_native.have_native_jpeg()
         ):
             raise ImportError(
                 "pixel_codec='system' found no system codec libraries "
-                "(libpng16 / libgif / libwebp / libtiff) on this host; "
-                "choose 'python' (pure, slower) or 'native' (PIL)"
+                "(libpng16 / libgif / libwebp / libtiff / libjpeg) on "
+                "this host; choose 'python' (pure, slower) or 'native' "
+                "(PIL)"
             )
 
         def _system(p: bytes | None) -> np.ndarray | None:
@@ -808,6 +812,13 @@ def decoder_for(codec: str):
                         return out
                 elif p[:6] in (b"GIF87a", b"GIF89a"):
                     out = gif_native.decode_gif_native(p)
+                    if out is not None:
+                        return out
+                elif p[:3] == b"\xff\xd8\xff":
+                    # libjpeg entropy decode + the pure decoder's own
+                    # reconstruction — byte-identical by construction
+                    # (kernels/jpeg_native.py)
+                    out = jpeg_native.decode_jpeg_native(p)
                     if out is not None:
                         return out
                 elif p[:4] in (b"II*\x00", b"MM\x00*"):

@@ -317,7 +317,7 @@ def test_auto_codec_fallback_and_identity(spark, monkeypatch):
     import pandas as pd
 
     from paddle_spark.kernels import (
-        gif_native, png_native, tiff_native, webp_native,
+        gif_native, jpeg_native, png_native, tiff_native, webp_native,
     )
     from paddle_spark.kernels.pixels import decode_pixels, decoder_for
 
@@ -326,6 +326,7 @@ def test_auto_codec_fallback_and_identity(spark, monkeypatch):
     monkeypatch.setattr(gif_native, "have_native_gif", lambda: False)
     monkeypatch.setattr(webp_native, "have_native_webp", lambda: False)
     monkeypatch.setattr(tiff_native, "have_native_tiff", lambda: False)
+    monkeypatch.setattr(jpeg_native, "have_native_jpeg", lambda: False)
     assert decoder_for("auto") is decode_pixels
     monkeypatch.undo()
 
