@@ -21,12 +21,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")  # driver side; executors get --py-files
+# driver side; executors get --py-files. Derive the repo root from this
+# file's location (BENCH/..) instead of hardcoding a checkout path.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import SparkSession
 

@@ -39,7 +39,10 @@ class _ColorMapObject(ctypes.Structure):
     _fields_ = [
         ("ColorCount", ctypes.c_int),
         ("BitsPerPixel", ctypes.c_int),
-        ("SortFlag", ctypes.c_int),  # bool in gif_lib.h (int-sized)
+        # bool (1 byte) in gif_lib.h; declaring c_int still matches the C
+        # layout because the following pointer's alignment pads the bool
+        # to 4/8 bytes on the supported 32/64-bit ABIs
+        ("SortFlag", ctypes.c_int),
         ("Colors", ctypes.POINTER(_GifColorType)),
     ]
 
@@ -50,6 +53,8 @@ class _GifImageDesc(ctypes.Structure):
         ("Top", _GifWord),
         ("Width", _GifWord),
         ("Height", _GifWord),
+        # bool (1 byte) in gif_lib.h; c_int matches the C layout only
+        # because the following pointer's alignment pads it (see SortFlag)
         ("Interlace", ctypes.c_int),
         ("ColorMap", ctypes.POINTER(_ColorMapObject)),
     ]

@@ -177,12 +177,19 @@ def decode_tiff_native(p: bytes | None) -> np.ndarray | None:
         return 0
 
     def _seek(_h, off, whence):
+        # toff_t is unsigned, so a negative SEEK_CUR/SEEK_END offset from
+        # libtiff arrives wrapped — reinterpret as signed 64-bit before
+        # applying, and clamp the result into [0, len(data)] so a bogus
+        # offset degrades to a failed read instead of a huge position
+        if off >= 1 << 63:
+            off -= 1 << 64
         if whence == 0:
-            state["pos"] = off
+            pos = off
         elif whence == 1:
-            state["pos"] += off
+            pos = state["pos"] + off
         else:
-            state["pos"] = len(data) + off
+            pos = len(data) + off
+        state["pos"] = min(max(pos, 0), len(data))
         return state["pos"]
 
     # Callback objects must outlive the TIFF* — hold them in a local
