@@ -159,8 +159,11 @@ int pj_decode_coefs(const unsigned char *buf, unsigned long len,
 }
 """
 
+# Per-uid, 0o700 cache dir: the shim is dlopen()ed into every worker, so
+# the cache must never be writable (or plantable) by another local user —
+# _secure_dir refuses symlinks, foreign owners and group/world access.
 _CACHE_DIR = os.path.join(
-    tempfile.gettempdir(), "paddle_spark_jpeg_shim_v1"
+    tempfile.gettempdir(), f"paddle_spark_jpeg_shim_v1_uid{os.getuid()}"
 )
 _LIB = None
 _TRIED = False
@@ -171,20 +174,58 @@ _TRIED = False
 _NAT_OF_ZIG: np.ndarray | None = None
 
 
+def _secure_dir(path: str) -> None:
+    """Create/validate the cache dir: must be a non-symlink directory
+    owned by this uid with no group/world access. Raises otherwise."""
+    import stat
+
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.lstat(path)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or stat.S_ISLNK(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077)
+    ):
+        raise RuntimeError(f"unsafe shim cache dir: {path}")
+
+
+def _safe_so(path: str) -> bool:
+    """Only load a shim owned by this uid and writable by no one else."""
+    import stat
+
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    return (
+        stat.S_ISREG(st.st_mode)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o022)
+    )
+
+
 def _build_shim() -> str | None:
     """Compile the shim once per host (flock-guarded, atomic rename).
-    Returns the .so path or None when gcc / libjpeg dev files are absent."""
+    Returns the .so path or None when gcc / libjpeg dev files are absent.
+    A persistent .build_failed marker stops every later process on the
+    host from re-spawning gcc for a compile that cannot succeed."""
     so = os.path.join(_CACHE_DIR, "pjshim.so")
-    if os.path.exists(so):
-        return so
     try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
+        _secure_dir(_CACHE_DIR)
+        if os.path.exists(so):
+            return so if _safe_so(so) else None
+        failed = os.path.join(_CACHE_DIR, ".build_failed")
+        if os.path.exists(failed):
+            return None
         import fcntl
 
         with open(os.path.join(_CACHE_DIR, ".lock"), "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             if os.path.exists(so):  # another worker won the race
-                return so
+                return so if _safe_so(so) else None
+            if os.path.exists(failed):
+                return None
             csrc = os.path.join(_CACHE_DIR, "pjshim.c")
             with open(csrc, "w") as f:
                 f.write(_C_SRC)
@@ -195,6 +236,8 @@ def _build_shim() -> str | None:
                 capture_output=True, timeout=120,
             )
             if r.returncode != 0:
+                with open(failed, "w") as f:
+                    f.write(r.stderr.decode("utf-8", "replace")[:2000])
                 return None
             os.rename(tmp, so)  # atomic: readers only ever see a full .so
             return so

@@ -776,7 +776,12 @@ def decoder_for(codec: str):
         # core — falling back to the pure-Python codecs on hosts with no
         # system libraries. The explicit names remain for oracle parity
         # runs ('python') and hard requirements ('system'/'native' raise
-        # instead of degrading).
+        # instead of degrading). NOTE: availability is probed where the
+        # plan is CONSTRUCTED (the driver); on a heterogeneous deployment
+        # whose driver image lacks libraries the executors have, 'auto'
+        # quietly picks the pure path — pass codec='system' to fail fast
+        # instead (standard Spark practice is identical driver/executor
+        # images).
         try:
             return decoder_for("system")
         except ImportError:

@@ -23,6 +23,7 @@ Scale design (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 
 import pandas as pd
@@ -129,6 +130,66 @@ def make_extract_batch(cfg: ExtractConfig):
     return extract_batch
 
 
+# logical operators that introduce an exchange: downstream of one, the
+# frame's partitioning is (at least) spark.sql.shuffle.partitions wide
+_WIDE_NODES = ("Join", "Aggregate", "Window", "Deduplicate", "Repartition",
+               "Sort")
+
+
+def _local_row_groups(files: list[str]) -> int | None:
+    """Total parquet row groups across LOCAL input files, or None when any
+    file is remote/unreadable (callers must then stay conservative). Row
+    groups bound how many scan partitions can actually carry rows — with
+    a files.minPartitionNum floor, byte-range splits of a one-row-group
+    file are empty except one, so the raw partition COUNT over-reports
+    parallelism."""
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+            elif "://" in f:
+                return None
+            if not os.path.exists(f):
+                return None
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        return total
+    except Exception:
+        return None
+
+
+def _needs_fanout_shuffle(pages: DataFrame, n_parts: int) -> bool:
+    """Best-effort auto decision for the salted repartition: False only
+    when the input is provably at least min(n_parts, cores)-way parallel.
+
+    Wide plans (joins/aggregates/windows/repartitions upstream) are
+    judged by spark.sql.shuffle.partitions — their output partitioning —
+    WITHOUT touching df.rdd: materializing the RDD of an adaptive plan
+    finalizes it and eagerly runs every upstream shuffle stage at
+    plan-declaration time. Narrow scan-shaped plans have no stages to
+    run, so the exact partition count is safe to read there; it is then
+    clamped by the input files' total parquet row-group count, because
+    split-size floors can produce byte-range splits that carry no rows.
+    Anything unprovable keeps the shuffle (the skew-defense default)."""
+    try:
+        spark = pages.sparkSession
+        need = min(n_parts, spark.sparkContext.defaultParallelism)
+        lp = pages._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        if any(k in lp for k in _WIDE_NODES):
+            return int(spark.conf.get("spark.sql.shuffle.partitions")) < need
+        incoming = pages.rdd.getNumPartitions()  # narrow: nothing to run
+        rgs = _local_row_groups(pages.inputFiles())
+        if rgs is not None:
+            incoming = min(incoming, rgs)
+        return incoming < need
+    except Exception:
+        return True
+
+
 def extract_pages(
     pages: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
@@ -179,12 +240,7 @@ def extract_pages(
         ).alias("payload_xxh"),
     )
     if shuffle is None:
-        try:
-            incoming = pages.rdd.getNumPartitions()
-            p = pages.sparkSession.sparkContext.defaultParallelism
-            shuffle = incoming < min(n_parts, p)
-        except Exception:
-            shuffle = True
+        shuffle = _needs_fanout_shuffle(pages, n_parts)
     if shuffle:
         # The one shuffle: salted url-hash. Bucket count (lineage
         # granularity) and partition count (parallelism) are decoupled on

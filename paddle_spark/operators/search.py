@@ -91,7 +91,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
-    use_index: DataFrame | None = None,
+    use_index: DataFrame | tuple | None = None,
 ) -> DataFrame:
     """Top-k documents per query under Okapi BM25.
 
@@ -108,8 +108,10 @@ def bm25_topk(
     (map-side) instead of counting exploded tokens; docs with zero tokens
     are excluded exactly as the explode-based count excluded them. Both
     produce bit-identical scores. Callers that already hold a persisted
-    full index (repeated ad-hoc probing) can pass its postings via
-    ``use_index`` to skip the corpus scan entirely.
+    index (repeated ad-hoc probing) can pass ``use_index`` — either the
+    full ``(postings, doc_lens, stats)`` triple from
+    ``build_inverted_index`` (no corpus scan at all) or a bare postings
+    frame (document lengths are then still re-derived from ``docs``).
     """
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -128,29 +130,38 @@ def bm25_topk(
         r["term"] for r in qterms.select("term").distinct().collect()
     )
 
+    idx_postings = idx_doc_lens = idx_stats = None
+    if isinstance(use_index, tuple):
+        idx_postings, idx_doc_lens, idx_stats = use_index
+    elif use_index is not None:
+        idx_postings = use_index
+
     toks = docs.select(
         F.col(id_col).alias("id"),
         words_col(F.lower(F.col(text_col))).alias("ws"),
     )
-    # dl per doc: sum of per-row token counts (== count of exploded
-    # tokens per id), rows with no tokens dropped exactly like the
-    # explode-based groupBy dropped them
-    doc_lens = (
-        toks.select("id", F.size("ws").alias("dl0"))
-        .filter(F.col("dl0") > 0)
-        .groupBy("id")
-        .agg(F.sum("dl0").cast("long").alias("dl"))
-        # both stats and the length join consume doc_lens; persisting the
-        # (id, dl) frame keeps the corpus tokenization at one scan (the
-        # same in-session-index rationale as build_inverted_index)
-        .persist()
-    )
-    stats = doc_lens.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    if use_index is not None:
-        postings = use_index.filter(F.col("term").isin(probe_terms))
+    if idx_doc_lens is not None:
+        doc_lens, stats = idx_doc_lens, idx_stats
+    else:
+        # dl per doc: sum of per-row token counts (== count of exploded
+        # tokens per id), rows with no tokens dropped exactly like the
+        # explode-based groupBy dropped them
+        doc_lens = (
+            toks.select("id", F.size("ws").alias("dl0"))
+            .filter(F.col("dl0") > 0)
+            .groupBy("id")
+            .agg(F.sum("dl0").cast("long").alias("dl"))
+            # both stats and the length join consume doc_lens; persisting
+            # the (id, dl) frame keeps the corpus tokenization at one scan
+            # (the same in-session-index rationale as build_inverted_index)
+            .persist()
+        )
+        stats = doc_lens.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+    if idx_postings is not None:
+        postings = idx_postings.filter(F.col("term").isin(probe_terms))
     else:
         # probe-restricted postings: explode -> literal isin filter ->
         # small (term, id) aggregation over surviving tokens only; the

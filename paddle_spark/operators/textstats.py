@@ -161,8 +161,9 @@ def text_stats_frame(
     values are exactly those of
     ``quality_features(df).join(fingerprint(df)[id, fp_sha256], id)
     .join(df[id, n_bpe_tokens], id)`` — the r5 driver entry — and every
-    row of a unique-id table appears exactly once either way, so results
-    are bit-identical."""
+    row of a table with unique NON-NULL ids appears exactly once either
+    way, so results are bit-identical there (a NULL id would equi-join to
+    nothing in the old form but keep its row here)."""
     text = F.col(text_col)
     return df.select(
         F.col(id_col),

@@ -87,3 +87,31 @@ def test_scan_is_column_pruned(spark, tiny_pages, tmp_path):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "text" not in cols
     assert {"url", "html", "lang"} <= cols
+
+
+def test_fanout_shuffle_auto_decision(spark, tmp_path):
+    """The r6 auto-shuffle probe: multi-file sharded scans skip the salted
+    repartition, a single-file one-row-group input keeps it (byte-range
+    splits would be empty — partition COUNT over-reports), and frames
+    with an upstream exchange are judged from shuffle.partitions without
+    touching df.rdd (which would finalize the adaptive plan)."""
+    from pyspark.sql import functions as F
+
+    from paddle_spark.operators.extract_job import _needs_fanout_shuffle
+
+    n = spark.sparkContext.defaultParallelism
+    sharded = str(tmp_path / "sharded")
+    spark.range(0, 2000, 1, n).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("html"),
+    ).write.mode("overwrite").parquet(sharded)
+    many = spark.read.parquet(sharded)
+    assert _needs_fanout_shuffle(many, n) is False
+
+    single = str(tmp_path / "single")
+    many.coalesce(1).write.mode("overwrite").parquet(single)
+    one = spark.read.parquet(single)
+    assert _needs_fanout_shuffle(one, n) is True
+
+    wide = one.repartition(n, "url")
+    assert _needs_fanout_shuffle(wide, n) is False
