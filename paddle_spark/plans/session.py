@@ -26,6 +26,22 @@ def build_session(
     ``cores=None`` uses ``local[*]``. On a real cluster, drop the
     ``master`` call and submit with ``spark-submit --py-files``.
     """
+    # Make paddle_spark importable in the python WORKERS regardless of
+    # the driver's cwd: local-mode workers inherit PYTHONPATH from the
+    # driver process (they do not inherit sys.path edits), so a driver
+    # started outside the repo would otherwise fail every mapInPandas
+    # stage with ModuleNotFoundError. Must run before the JVM gateway
+    # launches; on clusters --py-files owns distribution and a
+    # nonexistent path entry is harmless.
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     if cores is None:
         master = "local[*]"
         n = os.cpu_count() or 8
