@@ -107,7 +107,10 @@ def bm25_topk(
     built or shuffled. Document lengths come from a per-row ``size()``
     (map-side) instead of counting exploded tokens; docs with zero tokens
     are excluded exactly as the explode-based count excluded them. Both
-    produce bit-identical scores. Callers that already hold a persisted
+    produce bit-identical scores. When neither index side is supplied,
+    doc_lens and postings additionally share ONE tokenization pass via a
+    persisted (id, dl0, probe-filtered-tokens) frame instead of
+    re-splitting every document per consumer. Callers that already hold a persisted
     index (repeated ad-hoc probing) can pass ``use_index`` — either the
     full ``(postings, doc_lens, stats)`` triple from
     ``build_inverted_index`` (no corpus scan at all) or a bare postings
@@ -140,15 +143,36 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         words_col(F.lower(F.col(text_col))).alias("ws"),
     )
+    base = None
+    if idx_doc_lens is None and idx_postings is None:
+        # ONE corpus tokenization pass feeds BOTH doc_lens and postings
+        # (without this frame each consumer re-runs the regex split over
+        # every document): per row keep only (id, token count,
+        # probe-filtered tokens) — a long plus a query-bounded tiny
+        # array — so the persisted frame is metadata-sized while the
+        # full token arrays die inside the scan stage (guide §2.3
+        # "shuffle keys and metadata instead of payloads", applied to a
+        # persist). filter-then-explode is row-identical to the previous
+        # explode-then-isin: both keep every occurrence of a probe term.
+        probe_lit = F.array(*[F.lit(t) for t in probe_terms])
+        base = toks.select(
+            "id",
+            F.size("ws").alias("dl0"),
+            F.filter(
+                "ws", lambda t: F.array_contains(probe_lit, t)
+            ).alias("pws"),
+        ).persist()
     if idx_doc_lens is not None:
         doc_lens, stats = idx_doc_lens, idx_stats
     else:
         # dl per doc: sum of per-row token counts (== count of exploded
         # tokens per id), rows with no tokens dropped exactly like the
         # explode-based groupBy dropped them
+        src = base if base is not None else toks.select(
+            "id", F.size("ws").alias("dl0")
+        )
         doc_lens = (
-            toks.select("id", F.size("ws").alias("dl0"))
-            .filter(F.col("dl0") > 0)
+            src.filter(F.col("dl0") > 0)
             .groupBy("id")
             .agg(F.sum("dl0").cast("long").alias("dl"))
             # both stats and the length join consume doc_lens; persisting
@@ -163,14 +187,19 @@ def bm25_topk(
     if idx_postings is not None:
         postings = idx_postings.filter(F.col("term").isin(probe_terms))
     else:
-        # probe-restricted postings: explode -> literal isin filter ->
-        # small (term, id) aggregation over surviving tokens only; the
-        # probed postings are query-term-bounded (tiny), persisted so the
-        # df count and the scoring join share one corpus pass
+        # probe-restricted postings: tokens filtered to the probe-term
+        # set BEFORE the small (term, id) aggregation; the probed
+        # postings are query-term-bounded (tiny), persisted so the
+        # df count and the scoring join share one pass
+        psrc = (
+            base.select("id", F.explode("pws").alias("term"))
+            if base is not None
+            else toks.select("id", F.explode("ws").alias("term")).filter(
+                F.col("term").isin(probe_terms)
+            )
+        )
         postings = (
-            toks.select("id", F.explode("ws").alias("term"))
-            .filter(F.col("term").isin(probe_terms))
-            .groupBy("term", "id")
+            psrc.groupBy("term", "id")
             .agg(F.count("*").alias("tf"))
             .persist()
         )

@@ -114,6 +114,40 @@ def test_partitioning_invariant(spark):
     assert a == b
 
 
+def test_fused_single_pass_matches_index_paths(spark):
+    """r6 fusion: when no index is passed, doc_lens and postings derive
+    from ONE persisted (id, dl0, probe-filtered-tokens) pass. All three
+    entry shapes — fused, full index triple, bare-postings index — must
+    produce identical rows (and match the Python replay via the fused
+    path, which test_topk_matches_python_replay already pins)."""
+    docs, queries = _frames(spark)
+    fused = {tuple(r) for r in bm25_topk(docs, queries).collect()}
+    triple = build_inverted_index(docs)
+    via_triple = {
+        tuple(r) for r in bm25_topk(docs, queries, use_index=triple).collect()
+    }
+    via_postings = {
+        tuple(r)
+        for r in bm25_topk(docs, queries, use_index=triple[0]).collect()
+    }
+    assert fused == via_triple == via_postings
+    # blank/edge docs: a doc whose text tokenizes to nothing must be
+    # excluded from doc_lens by the fused path exactly as before, and a
+    # probe term repeated within a doc keeps its full tf
+    docs2 = spark.createDataFrame(
+        DOCS + [(5, "   "), (6, "spark spark spark spark")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["id"], r["score"], r["rk"])
+        for r in bm25_topk(docs2, queries).collect()
+    }
+    expect = _python_bm25(
+        DOCS + [(6, "spark spark spark spark")], QUERIES
+    )
+    assert got == expect
+
+
 def test_plan_no_udf_no_cartesian_broadcast_probe(spark):
     docs, queries = _frames(spark)
     plan = (
