@@ -85,10 +85,27 @@ def _scan_row_groups(path: str) -> int:
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str | None = None,
+    fan_out: bool = True,
 ) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not fan_out:
+        # Reducing-aggregation consumers (groupBy with sum/count/min/max,
+        # optionally behind a broadcast join): partial aggregation runs
+        # INSIDE the scan stage and ships only collapsed agg state, so a
+        # pre-shuffle of full rows moves bytes the aggregate was about to
+        # collapse anyway (guide §2.3 "aggregate before you shuffle").
+        # On a single-row-group fixture the scan is serial either way —
+        # the repartition's map side IS that serial scan task, plus it
+        # pays per-row partitioning/serialization the in-task agg update
+        # doesn't. Measured 2-3x on time_buckets at sf0.1 AND the 10x
+        # replica; results identity-checked (and the driver oracle pins
+        # them). Window / per-row-kernel consumers keep the fan-out.
+        return df
     if name in _FAN_OUT:
         # One input file ≈ one row group ≈ one scan partition for these
         # small fixtures; fan out so per-row-heavy queries parallelize.
@@ -506,6 +523,10 @@ def q_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 'x1_y1_x2_y2' keys built from bbox floats; here the key is built
     from the order's custkey)."""
     c = _t(spark, sf_dir, "customer")
+    # keeps the fan-out: the probe side pays a per-row format_string +
+    # broadcast hash probe BEFORE the reducing agg — serializing that
+    # into the scan task measured 2x slower than shuffling it wide
+    # (unlike the pure-sum consumers that pass fan_out=False)
     o = _t(spark, sf_dir, "orders")
     keyed = o.withColumn(
         "cust_key_str", F.format_string("Customer#%09d", F.col("o_custkey"))
@@ -759,7 +780,7 @@ FROM (
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style headline aggregation (relational muscle check)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1433,7 +1454,7 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     paddle_spark.streaming.batch_windowed_agg — identical results)."""
     from paddle_spark.streaming import batch_windowed_agg
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     out = batch_windowed_agg(ev, minutes=60)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
